@@ -1,0 +1,23 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Real-TPU behavior is exercised by bench.py and the driver's compile checks;
+tests must be hermetic and fast, so they force the CPU backend with 8
+virtual devices (for the multi-chip sharding tests) before jax is imported.
+"""
+
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # the driver env pins axon (TPU)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# The container's sitecustomize registers the axon (TPU tunnel) PJRT plugin
+# and prepends it to jax_platforms regardless of the env var; force CPU.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,95 @@
+"""Correctness suites mirroring the reference (``tests/main.cpp:19-21``):
+each suite runs at n ~ 1, 100, 10000 (reduced top size for CI speed) with
+exact neighbor-set parity against the brute-force oracle, across both
+pipelines, a zsort round trip, and tile/cap sweeps.
+"""
+
+import numpy as np
+import pytest
+
+from helpers import (compare_engine_with_oracle, generate_point_grid_as_sph,
+                     grid_for_n, make_engine_and_oracle)
+
+SIZES = [1, 100, 4000]
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_one_set_fixed_radius(n):
+    # reference tests.cpp:91-112
+    pts, r = grid_for_n(n)
+    compare_engine_with_oracle([(pts, None)], search_radius=r,
+                               sweeps=(n == SIZES[-1]))
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_two_dynamic_sets_variable_radius(n):
+    # reference tests.cpp:114-145 — two sets, variable radii, asymmetric
+    # active matrix (set 1 does not search in itself).
+    rng = np.random.default_rng(42)
+    pts0, r = grid_for_n(n)
+    pts1 = pts0 + rng.uniform(-0.02, 0.02, pts0.shape).astype(np.float32)
+    rad0 = rng.uniform(0.8 * r, 1.2 * r, pts0.shape[0]).astype(np.float32)
+    rad1 = rng.uniform(0.8 * r, 1.2 * r, pts1.shape[0]).astype(np.float32)
+    active = [(0, 0, True), (0, 1, True), (1, 0, True), (1, 1, False)]
+    compare_engine_with_oracle([(pts0, rad0), (pts1, rad1)], active=active,
+                               symmetric=True, sweeps=False)
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_variable_radius_asymmetric_no_symmetric_search(n):
+    rng = np.random.default_rng(7)
+    pts, r = grid_for_n(n)
+    rad = rng.uniform(0.5 * r, 1.5 * r, pts.shape[0]).astype(np.float32)
+    compare_engine_with_oracle([(pts, rad)], symmetric=False, sweeps=False)
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_mixed_float_double_point_sets(n):
+    # reference tests.cpp:147-186 — double input is cast-copied to float
+    pts, r = grid_for_n(n)
+    pts64 = pts.astype(np.float64) + 1e-9  # exercise the cast path
+    compare_engine_with_oracle(
+        [(pts, None), (pts64.astype(np.float32), None)], search_radius=r,
+        sweeps=False)
+    # engine accepts the doubles directly; parity vs its own f32 cast
+    eng, orc = make_engine_and_oracle(
+        [(pts64, None)], search_radius=float(r))
+    orc.sets[0] = (pts64.astype(np.float32), None)
+    orc.run()
+    eng.run()
+    orc.compare(eng)
+
+
+def test_resize_variable_radius():
+    # reference tests.cpp:188-237 — grow x2 and shrink x(1/3) between runs
+    rng = np.random.default_rng(3)
+    pts, r = grid_for_n(1000)
+    rad = rng.uniform(0.9 * r, 1.1 * r, pts.shape[0]).astype(np.float32)
+    eng, orc = make_engine_and_oracle([(pts, rad)])
+    eng.run()
+    orc.run()
+    orc.compare(eng)
+
+    # grow x2
+    pts2 = np.concatenate([pts, pts + np.float32(0.05)], axis=0)
+    rad2 = np.concatenate([rad, rad])
+    eng.resize_point_set(0, pts2, rad2)
+    orc2 = make_engine_and_oracle([(pts2, rad2)])[1]
+    orc2.run()
+    eng.run()
+    orc2.compare(eng)
+
+    # shrink to a third
+    k = pts2.shape[0] // 3
+    eng.resize_point_set(0, pts2[:k], rad2[:k])
+    orc3 = make_engine_and_oracle([(pts2[:k], rad2[:k])])[1]
+    orc3.run()
+    eng.run()
+    orc3.compare(eng)
+
+
+def test_uniform_random_cloud_parity():
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(0, 1, (3000, 3)).astype(np.float32)
+    compare_engine_with_oracle([(pts, None)], search_radius=0.07,
+                               sweeps=False)

@@ -1,0 +1,73 @@
+"""Multi-chip path: exact parity with the single-device program on a
+virtual 8-device CPU mesh (the driver separately dry-runs this via
+__graft_entry__.dryrun_multichip)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from treensearch_tpu.config import SearchConfig
+from treensearch_tpu.ops.grid import fresh_state
+from treensearch_tpu.ops.pipeline import build_and_search_jit
+from treensearch_tpu.parallel.sharded import build_and_search_sharded
+
+
+def _mesh(n=8):
+    devs = jax.devices()
+    if len(devs) < n:
+        pytest.skip(f"need {n} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:n]), ("d",))
+
+
+@pytest.mark.parametrize("variable", [False, True])
+def test_sharded_matches_single_device(variable):
+    mesh = _mesh()
+    rng = np.random.default_rng(0)
+    n0, n1 = 700, 300
+    pts = rng.uniform(0, 1, (n0 + n1, 3)).astype(np.float32)
+    rad = rng.uniform(0.08, 0.14, n0 + n1).astype(np.float32) \
+        if variable else None
+    cfg = SearchConfig(
+        set_sizes=(n0, n1),
+        active_pairs=((0, 0), (0, 1), (1, 0)),
+        variable=variable, symmetric=variable,
+        stencil_w=1, chunk=64, cand_cap=512, nbr_cap=96)
+    cell = 1.5 * 0.1
+
+    pts_d = jnp.asarray(pts)
+    rad_d = jnp.asarray(rad) if variable else None
+    sol1, _ = build_and_search_jit(pts_d, rad_d, jnp.float32(0.1),
+                                   jnp.float32(cell), fresh_state(), cfg)
+
+    sharded = jax.device_put(pts_d, NamedSharding(mesh, P("d")))
+    sol2, _ = jax.jit(
+        lambda p, r, st: build_and_search_sharded(
+            p, r, jnp.float32(0.1), jnp.float32(cell), st, cfg, mesh)
+    )(sharded, rad_d, fresh_state())
+
+    for name in sol1["pairs"]:
+        c1 = np.asarray(sol1["pairs"][name]["counts"])
+        c2 = np.asarray(sol2["pairs"][name]["counts"])
+        assert np.array_equal(c1, c2), name
+        n1_ = np.asarray(sol1["pairs"][name]["nbrs"])
+        n2_ = np.asarray(sol2["pairs"][name]["nbrs"])
+        # same neighbor SETS per point (padding/order may differ)
+        for i in range(n1_.shape[0]):
+            assert np.array_equal(np.sort(n1_[i][n1_[i] >= 0]),
+                                  np.sort(n2_[i][n2_[i] >= 0])), (name, i)
+
+
+def test_sharded_empty_and_tiny():
+    mesh = _mesh()
+    cfg = SearchConfig(set_sizes=(3,), active_pairs=((0, 0),),
+                       variable=False, symmetric=False,
+                       stencil_w=1, chunk=16, cand_cap=64, nbr_cap=16)
+    pts = jnp.asarray(np.random.default_rng(1).uniform(0, 1, (3, 3))
+                      .astype(np.float32))
+    sol, _ = jax.jit(
+        lambda p, st: build_and_search_sharded(
+            p, None, jnp.float32(0.5), jnp.float32(0.75), st, cfg, mesh)
+    )(pts, fresh_state())
+    assert np.asarray(sol["pairs"]["0-0"]["counts"]).shape == (3,)

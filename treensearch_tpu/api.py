@@ -1,0 +1,493 @@
+"""Public API — the ``TreeNSearch`` class.
+
+Mirrors the reference public surface (``TreeNSearch/source/TreeNSearch.h:28-427``)
+with Python/JAX ergonomics: point sets are numpy or jax arrays (float32 or
+float64 — doubles are cast to float32 at ingest exactly like the reference's
+cast-copy, ``TreeNSearch.cpp:270-297``; ``README.md:144-146`` documents the
+resulting ~1e-7 relative misclassification tolerance), and the whole
+build+query step runs as one jit-compiled XLA program (``ops/pipeline.py``).
+
+Differences by design (TPU-first, documented for reference users):
+  - ``run()`` and ``run_scalar()`` both exist and produce identical
+    neighbor sets (like the reference's SIMD/scalar pair,
+    ``README.md:11-12``); here they differ only in pipeline tile size
+    (``run_scalar`` is the small-tile XLA reference path, ``run`` the
+    throughput path).
+  - ``set_n_threads`` / ``set_recursion_cap`` /
+    ``set_n_points_for_parallel_octree`` are accepted for API parity and
+    recorded, but thread/tree granularity does not exist on TPU; the
+    equivalent performance knobs are ``set_chunk_size`` and the padding
+    caps (``set_neighbor_cap`` / ``set_candidate_cap``), which the engine
+    also grows automatically on overflow (recompile-on-overflow,
+    SURVEY.md §7 step 7).
+  - ``apply_zsort`` reorders numpy arrays in place (pointer semantics of
+    the reference, ``TreeNSearch.h:443-481``) and additionally *returns*
+    the reordered array (for jax arrays, which are immutable).
+  - errors raise Python exceptions instead of ``exit(-1)``
+    (``TreeNSearch.cpp:366-392``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SearchConfig, round_up
+from .neighborlist import NeighborList, NeighborSolution
+from .ops.grid import GridState, fresh_state
+from .ops.pipeline import build_and_search_jit
+from .ops.zsort import apply_order, zsort_order
+from .utils.keys import MAX_CELLS_PER_DIM
+
+_DEFAULT_NBR_CAP = 80
+_DEFAULT_CAND_CAP = 512
+_DEFAULT_CHUNK = 1024
+_DEFAULT_CHUNK_SCALAR = 128
+_MAX_GROW_ROUNDS = 16
+
+
+class _PointSet:
+    __slots__ = ("points", "radii", "n")
+
+    def __init__(self, points, radii, n):
+        self.points = points
+        self.radii = radii
+        self.n = n
+
+
+def _as_points(points, n_points: Optional[int]):
+    """Accept (n,3), flat xyzxyz, numpy or jax, f32/f64; return (obj, n)."""
+    if isinstance(points, (np.ndarray, jnp.ndarray)):
+        arr = points
+    else:
+        arr = np.asarray(points)
+    if arr.ndim == 1:
+        if arr.shape[0] % 3 != 0:
+            raise ValueError("flat coordinate array length must be 3*n")
+        n = arr.shape[0] // 3
+    elif arr.ndim == 2 and arr.shape[1] == 3:
+        n = arr.shape[0]
+    else:
+        raise ValueError(f"points must be (n, 3) or flat xyzxyz, got {arr.shape}")
+    if n_points is not None and n_points != n:
+        raise ValueError(f"n_points={n_points} does not match array ({n})")
+    return arr, n
+
+
+class TreeNSearch:
+    """TPU-native neighborhood search over multiple 3D point sets."""
+
+    def __init__(self):
+        self._sets: List[_PointSet] = []
+        self._active: np.ndarray = np.zeros((0, 0), dtype=bool)
+        self._variable: Optional[bool] = None  # None until first set added
+        self._symmetric = True                 # reference default (h:385)
+        self._search_radius: Optional[float] = None
+        self._cell_size: Optional[float] = None
+        self._nbr_cap = _DEFAULT_NBR_CAP
+        self._cand_cap = _DEFAULT_CAND_CAP
+        self._chunk = _DEFAULT_CHUNK
+        self._chunk_scalar = _DEFAULT_CHUNK_SCALAR
+        self._grid_state: GridState = fresh_state()
+        self._solution: Optional[NeighborSolution] = None
+        self._zsort_maps: Optional[List[jnp.ndarray]] = None
+        self._last_stats: dict = {}
+        # accepted-for-parity knobs (no TPU meaning; see module docstring)
+        self._n_threads = len(jax.devices())
+        self._recursion_cap = 1000
+        self._n_points_for_parallel_octree = 200000
+
+    # ------------------------------------------------------------------ sets
+    def add_point_set(self, points, radii=None, n_points: int = None) -> int:
+        """Add a point set; returns its id.  With ``radii`` the engine is in
+        variable-radius mode; mixing modes raises (reference
+        ``TreeNSearch.h:43`` warning / ``_check`` exit)."""
+        arr, n = _as_points(points, n_points)
+        want_variable = radii is not None
+        if self._variable is not None and self._variable != want_variable:
+            raise ValueError(
+                "cannot mix fixed-radius and variable-radius point sets")
+        if want_variable and np.shape(radii)[0] != n:
+            raise ValueError("radii length must equal the number of points")
+        self._variable = want_variable
+        self._sets.append(_PointSet(arr, radii, n))
+        s = len(self._sets)
+        grown = np.zeros((s, s), dtype=bool)
+        grown[: s - 1, : s - 1] = self._active
+        # reference default: a new set participates in no searches
+        # (TreeNSearch.cpp:357-361)
+        self._active = grown
+        self._invalidate()
+        return s - 1
+
+    def resize_point_set(self, set_id: int, points, radii=None,
+                         n_points: int = None) -> None:
+        """Replace a set's data (and size), reference ``resize_point_set``
+        (``TreeNSearch.cpp:67-133``)."""
+        self._require_set(set_id)
+        arr, n = _as_points(points, n_points)
+        if (radii is not None) != bool(self._variable):
+            raise ValueError("resize must match the engine's radius mode")
+        if radii is not None and np.shape(radii)[0] != n:
+            raise ValueError("radii length must equal the number of points")
+        self._sets[set_id] = _PointSet(arr, radii, n)
+        self._invalidate()
+
+    # ---------------------------------------------------------------- config
+    def set_search_radius(self, search_radius: float) -> None:
+        if self._variable:
+            raise ValueError(
+                "set_search_radius is for fixed-radius mode; this engine has "
+                "variable-radius point sets")
+        self._search_radius = float(search_radius)
+
+    def set_cell_size(self, cell_size: float) -> None:
+        if cell_size <= 0:
+            raise ValueError("cell_size must be positive")
+        self._cell_size = float(cell_size)
+        self._grid_state = fresh_state()  # keys change; drop hysteresis
+
+    def set_symmetric_search(self, activate: bool) -> None:
+        self._symmetric = bool(activate)
+
+    def set_all_searches(self, active: bool = True) -> None:
+        self._active[:, :] = bool(active)
+
+    def set_active_search(self, set_i: int, *args, **kwargs) -> None:
+        """Two overloads, as in the reference (``TreeNSearch.cpp:219-232``):
+
+        ``set_active_search(i, j, active=True)`` — one directed edge.
+        ``set_active_search(i, search_in_all=True, be_found_by_all=True)``
+        — writes set_i's full row and column (order dependent).
+        """
+        self._require_set(set_i)
+        if args and isinstance(args[0], (int, np.integer)) \
+                and not isinstance(args[0], (bool, np.bool_)):
+            set_j = int(args[0])
+            active = bool(args[1]) if len(args) > 1 else \
+                bool(kwargs.get("active", True))
+            self._require_set(set_j)
+            self._active[set_i, set_j] = active
+        else:
+            search_in_all = bool(args[0]) if args else \
+                bool(kwargs.get("search_in_all", True))
+            be_found_by_all = bool(args[1]) if len(args) > 1 else \
+                bool(kwargs.get("be_found_by_all", True))
+            self._active[set_i, :] = search_in_all
+            self._active[:, set_i] = be_found_by_all
+            if not search_in_all:
+                self._active[set_i, set_i] = False
+
+    # parity knobs (see module docstring)
+    def set_n_threads(self, n: int) -> None:
+        self._n_threads = int(n)
+
+    def set_recursion_cap(self, cap: int) -> None:
+        self._recursion_cap = int(cap)
+
+    def set_n_points_for_parallel_octree(self, n: int = 200000) -> None:
+        self._n_points_for_parallel_octree = int(n)
+
+    # TPU-native performance knobs
+    def set_chunk_size(self, chunk: int) -> None:
+        if chunk < 8:
+            raise ValueError("chunk must be >= 8")
+        self._chunk = int(chunk)
+
+    def set_neighbor_cap(self, cap: int) -> None:
+        self._nbr_cap = int(cap)
+
+    def set_candidate_cap(self, cap: int) -> None:
+        self._cand_cap = int(cap)
+
+    # ---------------------------------------------------------------- run
+    def run(self) -> None:
+        """Execute the search and build all active neighbor lists
+        (reference ``run()``, ``TreeNSearch.cpp:138-149``)."""
+        self._run(self._chunk)
+
+    def run_scalar(self) -> None:
+        """Identical results through the small-tile pipeline (role of the
+        reference's scalar implementations, ``TreeNSearch.cpp:150-160``)."""
+        self._run(self._chunk_scalar)
+
+    def _run(self, chunk: int) -> None:
+        self._check()
+        points, radii = self._assemble()
+        cell = self._effective_cell_size()
+        sr = self._search_radius if not self._variable else 0.0
+        w = self._stencil_w(cell)
+        for _ in range(_MAX_GROW_ROUNDS):
+            cfg = self._make_cfg(chunk, w)
+            sol, state = build_and_search_jit(
+                points, radii, jnp.float32(sr), jnp.float32(cell),
+                self._grid_state, cfg)
+            if int(sol["error"]) != 0:
+                self._grid_state = fresh_state()
+                raise RuntimeError(
+                    f"the world box exceeds {MAX_CELLS_PER_DIM} cells per "
+                    "axis; increase the cell size (reference aborts here, "
+                    "TreeNSearch.cpp:510-515)")
+            cand_max = int(sol["cand_max"])
+            if cand_max > self._cand_cap:
+                self._cand_cap = round_up(int(cand_max * 1.25) + 1, 64)
+                continue
+            max_count = max(
+                (int(p["max_count"]) for p in sol["pairs"].values()),
+                default=0)
+            if max_count > self._nbr_cap:
+                self._nbr_cap = round_up(int(max_count * 1.25) + 1, 16)
+                continue
+            self._grid_state = state
+            self._solution = NeighborSolution(sol["pairs"], self._nbr_cap)
+            self._last_stats = {
+                "n_cells": int(sol["n_cells"]),
+                "cand_max": cand_max,
+                "max_count": max_count,
+                "cell_size": cell,
+                "stencil_w": w,
+            }
+            return
+        raise RuntimeError("padding caps failed to converge "
+                           f"(cand_cap={self._cand_cap}, nbr_cap={self._nbr_cap})")
+
+    # ------------------------------------------------------------- queries
+    def get_neighborlist(self, set_i: int, set_j: int, i: int) -> NeighborList:
+        self._require_solution()
+        return self._solution.get_neighborlist(set_i, set_j, i)
+
+    def for_each_neighbor(self, set_i: int, set_j: int, i: int,
+                          f: Callable[[int], None]) -> None:
+        for j in self.get_neighborlist(set_i, set_j, i):
+            f(j)
+
+    def get_neighbors(self, set_i: int, set_j: int):
+        """Bulk device interface: (counts (n_i,), padded nbrs (n_i, cap))."""
+        self._require_solution()
+        return self._solution.get_neighbors_device(set_i, set_j)
+
+    def get_neighborlist_n_bytes(self) -> int:
+        self._require_solution()
+        return self._solution.n_bytes()
+
+    # ---------------------------------------------------------------- zsort
+    def prepare_zsort(self) -> None:
+        """Compute per-set Morton reorder maps (reference ``prepare_zsort``,
+        ``TreeNSearch.cpp:2571-2661``)."""
+        if not self._sets:
+            raise RuntimeError("no point sets added")
+        mins, maxs = [], []
+        pts_dev = []
+        for s in self._sets:
+            p = jnp.asarray(s.points, jnp.float32).reshape(-1, 3)
+            pts_dev.append(p)
+            if s.n > 0:
+                mins.append(jnp.min(p, axis=0))
+                maxs.append(jnp.max(p, axis=0))
+        if mins:
+            box_min = jnp.min(jnp.stack(mins), axis=0)
+            box_max = jnp.max(jnp.stack(maxs), axis=0)
+        else:
+            box_min = jnp.zeros((3,), jnp.float32)
+            box_max = jnp.ones((3,), jnp.float32)
+        self._zsort_maps = [zsort_order(p, box_min, box_max) for p in pts_dev]
+
+    def apply_zsort(self, set_i: int, data, stride: int = 1):
+        """Reorder a user array by the prepared Z-order.  numpy arrays are
+        updated in place (reference pointer semantics); the reordered array
+        is always returned."""
+        self._require_set(set_i)
+        if self._zsort_maps is None:
+            raise RuntimeError(
+                "prepare_zsort() must be called before apply_zsort() "
+                "(reference exits here, TreeNSearch.h:446-454)")
+        order = self._zsort_maps[set_i]
+        n = order.shape[0]
+        if n == 0:
+            return data
+        is_np = isinstance(data, np.ndarray)
+        arr = data
+        size = int(np.prod(np.shape(arr)))
+        if size % n != 0:
+            raise ValueError(
+                f"array of {size} elements cannot be reordered for set "
+                f"{set_i} with {n} points (need n*stride elements)")
+        flat_in = hasattr(arr, "ndim") and arr.ndim == 1 and stride > 1
+        rows = jnp.asarray(arr).reshape(n, -1) if not flat_in \
+            else jnp.asarray(arr).reshape(n, stride)
+        out = apply_order(rows, order)
+        out = out.reshape(np.shape(arr))
+        if is_np:
+            np.copyto(data, np.asarray(out).astype(data.dtype, copy=False))
+            return data
+        return out
+
+    def get_zsort_order(self, set_i: int) -> np.ndarray:
+        self._require_set(set_i)
+        if self._zsort_maps is None:
+            raise RuntimeError("prepare_zsort() has not been called")
+        return np.asarray(self._zsort_maps[set_i])
+
+    # -------------------------------------------------------------- getters
+    def get_n_sets(self) -> int:
+        return len(self._sets)
+
+    def get_n_threads(self) -> int:
+        return self._n_threads
+
+    def get_n_points_in_set(self, set_i: int) -> int:
+        self._require_set(set_i)
+        return self._sets[set_i].n
+
+    def get_total_n_points(self) -> int:
+        return sum(s.n for s in self._sets)
+
+    def is_search_active(self, set_i: int, set_j: int) -> bool:
+        self._require_set(set_i)
+        self._require_set(set_j)
+        return bool(self._active[set_i, set_j])
+
+    def does_set_exist(self, set_i: int) -> bool:
+        return 0 <= set_i < len(self._sets)
+
+    # ---------------------------------------------------------- diagnostics
+    def print_state(self) -> None:
+        """Dump options and structure/neighborhood statistics (reference
+        ``print_state``, ``TreeNSearch.cpp:2718-2873``)."""
+        print("TreeNSearch (treensearch_tpu) state")
+        print(f"  n_sets: {len(self._sets)}  total points: "
+              f"{self.get_total_n_points()}")
+        mode = "variable" if self._variable else "fixed"
+        print(f"  radius mode: {mode}  symmetric: {self._symmetric}")
+        if not self._variable:
+            print(f"  search radius: {self._search_radius}")
+        print(f"  cell size: {self._cell_size or '(default 1.5*r_min)'}")
+        print(f"  caps: nbr={self._nbr_cap} cand={self._cand_cap} "
+              f"chunk={self._chunk}")
+        print(f"  active searches: "
+              f"{[(i, j) for (i, j) in zip(*np.nonzero(self._active))]}")
+        gs = self._grid_state
+        if bool(gs.valid):
+            print(f"  world box: {np.asarray(gs.grid_min)} .. "
+                  f"{np.asarray(gs.grid_max)}  cells/axis: "
+                  f"{np.asarray(gs.n_cells)}")
+        if self._last_stats:
+            print(f"  stats: {self._last_stats}")
+        if self._solution is not None:
+            for (i, j) in zip(*np.nonzero(self._active)):
+                c = self._solution.get_counts(int(i), int(j))
+                if c.size:
+                    print(f"  pair ({i}->{j}): neighbors min/avg/max = "
+                          f"{c.min()}/{c.mean():.2f}/{c.max()}")
+            print(f"  neighborlist bytes: {self.get_neighborlist_n_bytes()}")
+
+    # ------------------------------------------------------ jit-embedding
+    def make_step_fn(self, chunk: Optional[int] = None):
+        """Return ``(step, state0)`` for embedding the search in a jitted
+        simulation loop (e.g. under ``lax.scan``) with zero host sync:
+
+            step(state, points, radii=None) -> (solution_pytree, new_state)
+
+        Shapes/caps are fixed at the current settings; overflow shows up in
+        the solution's ``cand_max`` / per-pair ``max_count`` fields for the
+        caller to check when convenient.
+        """
+        self._check()
+        cell = self._effective_cell_size()
+        sr = self._search_radius if not self._variable else 0.0
+        cfg = self._make_cfg(chunk or self._chunk, self._stencil_w(cell))
+
+        def step(state, points, radii=None):
+            return build_and_search_jit(
+                points, radii, jnp.float32(sr), jnp.float32(cell), state, cfg)
+
+        return step, fresh_state()
+
+    # -------------------------------------------------------------- helpers
+    def _make_cfg(self, chunk: int, w: int) -> SearchConfig:
+        pairs = tuple(
+            (int(i), int(j)) for i, j in zip(*np.nonzero(self._active)))
+        return SearchConfig(
+            set_sizes=tuple(s.n for s in self._sets),
+            active_pairs=pairs,
+            variable=bool(self._variable),
+            symmetric=bool(self._symmetric and self._variable),
+            stencil_w=w,
+            chunk=chunk,
+            cand_cap=self._cand_cap,
+            nbr_cap=self._nbr_cap,
+        )
+
+    def _assemble(self):
+        pts = [jnp.asarray(s.points, jnp.float32).reshape(-1, 3)
+               for s in self._sets]
+        points = jnp.concatenate(pts, axis=0) if pts else \
+            jnp.zeros((0, 3), jnp.float32)
+        radii = None
+        if self._variable:
+            rad = [jnp.asarray(s.radii, jnp.float32).reshape(-1)
+                   for s in self._sets]
+            radii = jnp.concatenate(rad, axis=0) if rad else \
+                jnp.zeros((0,), jnp.float32)
+        return points, radii
+
+    def _radius_bounds(self):
+        if not self._variable:
+            r = self._search_radius or 0.0
+            return r, r
+        r_min, r_max = math.inf, 0.0
+        for s in self._sets:
+            if s.n == 0:
+                continue
+            rr = np.asarray(s.radii, dtype=np.float32)
+            r_min = min(r_min, float(rr.min()))
+            r_max = max(r_max, float(rr.max()))
+        if r_min is math.inf:
+            r_min = r_max = 0.0
+        return r_min, r_max
+
+    def _effective_cell_size(self) -> float:
+        if self._cell_size is not None:
+            return self._cell_size
+        # reference default: 1.5 x (global radius | min radius)
+        # (TreeNSearch.cpp:299-316)
+        r_min, _ = self._radius_bounds()
+        if r_min <= 0:
+            raise ValueError("cannot derive a cell size: no positive radius")
+        return 1.5 * r_min
+
+    def _stencil_w(self, cell: float) -> int:
+        _, r_max = self._radius_bounds()
+        return max(1, int(math.ceil(r_max / cell - 1e-6)))
+
+    def _check(self) -> None:
+        # mirrors _check validation (TreeNSearch.cpp:366-392)
+        if not self._sets:
+            raise RuntimeError("no point sets have been added")
+        if not self._variable and (self._search_radius is None
+                                   or self._search_radius <= 0):
+            raise RuntimeError(
+                "fixed-radius mode requires set_search_radius(r > 0)")
+        if self._variable:
+            for k, s in enumerate(self._sets):
+                if s.n > 0 and float(np.min(np.asarray(s.radii))) < 0:
+                    raise RuntimeError(f"set {k} has negative radii")
+
+    def _require_set(self, set_i: int) -> None:
+        if not self.does_set_exist(set_i):
+            raise IndexError(f"point set {set_i} does not exist")
+
+    def _require_solution(self) -> None:
+        if self._solution is None:
+            raise RuntimeError("run() has not been called")
+
+    def _invalidate(self) -> None:
+        self._solution = None
+        self._zsort_maps = None
+        # resize/add invalidates cells in the reference
+        # (TreeNSearch.cpp:118,364); here the grid hysteresis state stays
+        # usable (it only describes the world box), so nothing else to do.
