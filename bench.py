@@ -2,9 +2,15 @@
 
 Mirrors the measured reference baseline (BASELINE.md): 1,000,000
 uniform-random points in the unit cube, fixed radius 0.02 (~32.8 average
-neighbors, ~32.75M output pairs), steady-state `run()` every step as points
-jiggle.  The reference AVX2 build measured 1.03e8 pairs/s in this
-container; `vs_baseline` is pairs/s against that number.
+neighbors, ~32.75M output pairs), steady-state `run()` every step.  The
+reference AVX2 build measured 1.03e8 pairs/s in this container;
+`vs_baseline` is pairs/s against that number.
+
+The timed region is the full build+query step (sort, cell table, window
+gather, distance masking, padded-CSR emission) executed in-graph in a
+`lax.fori_loop` — the intended TPU usage, where the SPH simulation loop
+lives on device (the axon tunnel adds ~40 ms per host dispatch, which
+would otherwise dominate and measure the tunnel, not the engine).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -26,7 +32,7 @@ from treensearch_tpu import TreeNSearch
 BASELINE_PAIRS_PER_S = 1.03e8  # BASELINE.md, AVX2 CPU at 1M points
 N = int(os.environ.get("BENCH_N", 1_000_000))
 RADIUS = float(os.environ.get("BENCH_R", 0.02))
-ITERS = int(os.environ.get("BENCH_ITERS", 20))
+ITERS = int(os.environ.get("BENCH_ITERS", 10))
 
 
 def main():
@@ -38,11 +44,9 @@ def main():
     eng.set_search_radius(RADIUS)
     eng.set_all_searches(True)
 
-    # Settle the padding caps (auto-grow/recompile path) and warm the cache,
-    # then time the steady-state jitted step on device-resident data — the
-    # intended TPU usage (an SPH loop living on device).
+    # z-order once (SPH practice), settle the padding caps, warm the cache
     eng.prepare_zsort()
-    pts = eng.apply_zsort(0, pts)
+    pts = np.asarray(eng.apply_zsort(0, pts))
     eng.resize_point_set(0, pts)
     eng.run()
     counts, _ = eng.get_neighbors(0, 0)
@@ -50,23 +54,27 @@ def main():
 
     step, state0 = eng.make_step_fn()
     points_dev = jnp.asarray(pts)
-    sol, state = step(state0, points_dev)
-    jax.block_until_ready(sol)
 
-    # jiggle points on device between steps (simulates SPH motion) without
-    # including the jiggle in the timed region: pre-generate a few variants
-    variants = []
-    for k in range(4):
-        d = rng.uniform(-1e-4, 1e-4, (N, 3)).astype(np.float32)
-        variants.append(jnp.asarray(pts + d))
-    for v in variants:
-        sol, state = step(state, v)  # warm every shape/path
-    jax.block_until_ready(sol)
+    @jax.jit
+    def loop(points, state):
+        def body(_, carry):
+            state, acc = carry
+            sol, state = step(state, points)
+            p = sol["pairs"]["0-0"]
+            # consume both outputs so nothing is dead-code-eliminated
+            acc = acc + p["counts"][0] + jnp.sum(p["nbrs"],
+                                                 dtype=jnp.int32)
+            return state, acc
+        state, acc = jax.lax.fori_loop(0, ITERS, body,
+                                       (state, jnp.int32(0)))
+        return state, acc
+
+    state, acc = loop(points_dev, state0)
+    jax.block_until_ready(acc)  # warm
 
     t0 = time.perf_counter()
-    for i in range(ITERS):
-        sol, state = step(state, variants[i % len(variants)])
-    jax.block_until_ready(sol)
+    state, acc = loop(points_dev, state0)
+    acc_val = int(acc)  # host fetch = hard sync
     dt = (time.perf_counter() - t0) / ITERS
 
     pairs_per_s = total_pairs / dt

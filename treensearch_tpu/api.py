@@ -38,6 +38,7 @@ import numpy as np
 
 from .config import SearchConfig, round_up
 from .neighborlist import NeighborList, NeighborSolution
+from .ops.fastpath import FastKnobs, build_and_search_fast_jit
 from .ops.grid import GridState, fresh_state
 from .ops.pipeline import build_and_search_jit
 from .ops.zsort import apply_order, zsort_order
@@ -48,6 +49,8 @@ _DEFAULT_CAND_CAP = 512
 _DEFAULT_CHUNK = 1024
 _DEFAULT_CHUNK_SCALAR = 128
 _MAX_GROW_ROUNDS = 16
+_DEFAULT_WCAP = 256
+_MAX_DENSE_CAP = 1 << 26  # 256 MB table; beyond this fall back to searches
 
 
 class _PointSet:
@@ -92,6 +95,11 @@ class TreeNSearch:
         self._cand_cap = _DEFAULT_CAND_CAP
         self._chunk = _DEFAULT_CHUNK
         self._chunk_scalar = _DEFAULT_CHUNK_SCALAR
+        # fast-path knobs (ops/fastpath.py)
+        self._tile = 128
+        self._group = 8
+        self._wcap = _DEFAULT_WCAP
+        self._dense_cap: Optional[int] = None  # sized from N on first run
         self._grid_state: GridState = fresh_state()
         self._solution: Optional[NeighborSolution] = None
         self._zsort_maps: Optional[List[jnp.ndarray]] = None
@@ -207,34 +215,82 @@ class TreeNSearch:
     # ---------------------------------------------------------------- run
     def run(self) -> None:
         """Execute the search and build all active neighbor lists
-        (reference ``run()``, ``TreeNSearch.cpp:138-149``)."""
-        self._run(self._chunk)
+        (reference ``run()``, ``TreeNSearch.cpp:138-149``).  Uses the
+        dense-table fast path (``ops/fastpath.py``); falls back to the
+        search-based reference path for domains too sparse for a dense
+        cell table."""
+        self._run(self._chunk, fast=True)
 
     def run_scalar(self) -> None:
-        """Identical results through the small-tile pipeline (role of the
-        reference's scalar implementations, ``TreeNSearch.cpp:150-160``)."""
-        self._run(self._chunk_scalar)
+        """Identical results through the search-based reference pipeline
+        (role of the reference's scalar implementations,
+        ``TreeNSearch.cpp:150-160``)."""
+        self._run(self._chunk_scalar, fast=False)
 
-    def _run(self, chunk: int) -> None:
+    def _run(self, chunk: int, fast: bool = True) -> None:
         self._check()
         points, radii = self._assemble()
         cell = self._effective_cell_size()
         sr = self._search_radius if not self._variable else 0.0
         w = self._stencil_w(cell)
+        sol = self._execute(points, radii, sr, cell, w, chunk, fast)
+        max_count = max(
+            (int(p["max_count"]) for p in sol["pairs"].values()), default=0)
+        self._solution = NeighborSolution(sol["pairs"], self._nbr_cap)
+        self._last_stats = {
+            "n_cells": int(sol["n_cells"]),
+            "cand_max": int(sol["cand_max"]),
+            "max_count": max_count,
+            "cell_size": cell,
+            "stencil_w": w,
+            "path": "fast" if (fast and "dense_overflow" in sol) else "reference",
+        }
+
+    def _default_dense_cap(self) -> int:
+        n = max(self.get_total_n_points(), 1)
+        cap = 1 << 16
+        while cap < 4 * n and cap < _MAX_DENSE_CAP:
+            cap <<= 1
+        return cap
+
+    def _execute(self, points, radii, sr, cell, w, chunk, fast):
+        """Run one search with overflow-regrow; returns the clean solution."""
+        use_fast = fast
+        if self._dense_cap is None:
+            self._dense_cap = self._default_dense_cap()
         for _ in range(_MAX_GROW_ROUNDS):
             cfg = self._make_cfg(chunk, w)
-            sol, state = build_and_search_jit(
-                points, radii, jnp.float32(sr), jnp.float32(cell),
-                self._grid_state, cfg)
+            if use_fast:
+                knobs = FastKnobs(tile=self._tile, group=self._group,
+                                  wcap=self._wcap,
+                                  dense_cap=self._dense_cap)
+                sol, state = build_and_search_fast_jit(
+                    points, radii, jnp.float32(sr), jnp.float32(cell),
+                    self._grid_state, cfg, knobs)
+            else:
+                sol, state = build_and_search_jit(
+                    points, radii, jnp.float32(sr), jnp.float32(cell),
+                    self._grid_state, cfg)
             if int(sol["error"]) != 0:
                 self._grid_state = fresh_state()
                 raise RuntimeError(
                     f"the world box exceeds {MAX_CELLS_PER_DIM} cells per "
                     "axis; increase the cell size (reference aborts here, "
                     "TreeNSearch.cpp:510-515)")
+            if use_fast and int(sol["dense_overflow"]) != 0:
+                if self._dense_cap < _MAX_DENSE_CAP:
+                    self._dense_cap = min(self._dense_cap * 8, _MAX_DENSE_CAP)
+                else:
+                    use_fast = False  # domain too sparse for a dense table
+                continue
             cand_max = int(sol["cand_max"])
-            if cand_max > self._cand_cap:
-                self._cand_cap = round_up(int(cand_max * 1.25) + 1, 64)
+            cand_limit = self._wcap if use_fast else self._cand_cap
+            if cand_max > cand_limit:
+                grown = round_up(int(cand_max * 1.25) + 1, 64)
+                if use_fast:
+                    self._wcap = grown
+                else:
+                    self._cand_cap = grown
                 continue
             max_count = max(
                 (int(p["max_count"]) for p in sol["pairs"].values()),
@@ -243,17 +299,11 @@ class TreeNSearch:
                 self._nbr_cap = round_up(int(max_count * 1.25) + 1, 16)
                 continue
             self._grid_state = state
-            self._solution = NeighborSolution(sol["pairs"], self._nbr_cap)
-            self._last_stats = {
-                "n_cells": int(sol["n_cells"]),
-                "cand_max": cand_max,
-                "max_count": max_count,
-                "cell_size": cell,
-                "stencil_w": w,
-            }
-            return
-        raise RuntimeError("padding caps failed to converge "
-                           f"(cand_cap={self._cand_cap}, nbr_cap={self._nbr_cap})")
+            return sol
+        raise RuntimeError(
+            "padding caps failed to converge "
+            f"(wcap={self._wcap}, cand_cap={self._cand_cap}, "
+            f"nbr_cap={self._nbr_cap}, dense_cap={self._dense_cap})")
 
     # ------------------------------------------------------------- queries
     def get_neighborlist(self, set_i: int, set_j: int, i: int) -> NeighborList:
@@ -386,22 +436,31 @@ class TreeNSearch:
             print(f"  neighborlist bytes: {self.get_neighborlist_n_bytes()}")
 
     # ------------------------------------------------------ jit-embedding
-    def make_step_fn(self, chunk: Optional[int] = None):
+    def make_step_fn(self, chunk: Optional[int] = None, fast: bool = True):
         """Return ``(step, state0)`` for embedding the search in a jitted
         simulation loop (e.g. under ``lax.scan``) with zero host sync:
 
             step(state, points, radii=None) -> (solution_pytree, new_state)
 
         Shapes/caps are fixed at the current settings; overflow shows up in
-        the solution's ``cand_max`` / per-pair ``max_count`` fields for the
-        caller to check when convenient.
+        the solution's ``cand_max`` / ``dense_overflow`` / per-pair
+        ``max_count`` fields for the caller to check when convenient.
+        Call ``run()`` once first to let the caps settle.
         """
         self._check()
         cell = self._effective_cell_size()
         sr = self._search_radius if not self._variable else 0.0
         cfg = self._make_cfg(chunk or self._chunk, self._stencil_w(cell))
+        if self._dense_cap is None:
+            self._dense_cap = self._default_dense_cap()
+        knobs = FastKnobs(tile=self._tile, group=self._group,
+                          wcap=self._wcap, dense_cap=self._dense_cap)
 
         def step(state, points, radii=None):
+            if fast:
+                return build_and_search_fast_jit(
+                    points, radii, jnp.float32(sr), jnp.float32(cell),
+                    state, cfg, knobs)
             return build_and_search_jit(
                 points, radii, jnp.float32(sr), jnp.float32(cell), state, cfg)
 
