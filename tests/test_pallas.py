@@ -1,0 +1,112 @@
+"""Pallas pair-kernel logic tests (interpreter mode on CPU).
+
+The real-TPU compile/perf of the kernel is exercised by bench.py; these
+tests validate kernel LOGIC: in-VMEM cumsum/compaction primitives and
+exact neighbor parity for all points covered by the two-subwindow scheme
+(straddled points are flagged and handled by the host API fallback, see
+ops/fastpath.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import pallas as pl
+
+from treensearch_tpu.config import SearchConfig
+from treensearch_tpu.ops.fastpath import FastKnobs, build_and_search_fast_jit
+from treensearch_tpu.ops.grid import fresh_state, update_grid
+from treensearch_tpu.ops.pallas_pairs import _compact_lanes, _cumsum_lanes
+from treensearch_tpu.oracle import BruteforceNSearch
+from treensearch_tpu.utils import keys as K
+
+
+def test_kernel_cumsum_and_compact_primitives():
+    rng = np.random.default_rng(0)
+
+    def k1(x_ref, o_ref):
+        o_ref[:] = _cumsum_lanes(x_ref[:], x_ref.shape[1])
+
+    x = jnp.asarray(rng.integers(0, 3, (8, 128)).astype(np.int32))
+    out = pl.pallas_call(k1, out_shape=jax.ShapeDtypeStruct((8, 128),
+                                                            jnp.int32),
+                         interpret=True)(x)
+    assert np.array_equal(np.asarray(out), np.cumsum(np.asarray(x), axis=1))
+
+    def k2(m_ref, v_ref, o_ref):
+        o_ref[:] = _compact_lanes(m_ref[:] > 0, v_ref[:], 16)
+
+    m = rng.integers(0, 2, (8, 128)).astype(np.int32)
+    v = rng.integers(0, 999, (8, 128)).astype(np.int32)
+    out = np.asarray(pl.pallas_call(
+        k2, out_shape=jax.ShapeDtypeStruct((8, 16), jnp.int32),
+        interpret=True)(jnp.asarray(m), jnp.asarray(v)))
+    for i in range(8):
+        want = v[i][m[i] > 0][:16]
+        want = np.concatenate([want, -np.ones(16 - len(want), np.int32)])
+        assert np.array_equal(out[i], want)
+
+
+def _covered_mask(pts_np, cell, tile):
+    """Which points the two-subwindow scheme covers at this tile size."""
+    n = pts_np.shape[0]
+    pts = jnp.asarray(pts_np)
+    st = update_grid(fresh_state(), pts, jnp.float32(cell))
+    ijk = np.asarray(K.quantize(pts, st.grid_min, 1.0 / st.cell_size,
+                                st.n_cells))
+    dy = int(st.n_cells[1]) + 2
+    dz = int(st.n_cells[2]) + 2
+    lin = ((ijk[:, 0] + 1) * dy + (ijk[:, 1] + 1)) * dz + (ijk[:, 2] + 1)
+    order = np.argsort(lin, kind="stable")
+    ijk_s = ijk[order]
+    covered = np.zeros(n, bool)
+    for t in range(-(-n // tile)):
+        p0 = min(t * tile, n - 1)
+        p1 = min(t * tile + tile - 1, n - 1)
+        for p in range(t * tile, min((t + 1) * tile, n)):
+            covered[order[p]] = (
+                tuple(ijk_s[p][:2]) == tuple(ijk_s[p0][:2])
+                or tuple(ijk_s[p][:2]) == tuple(ijk_s[p1][:2]))
+    return covered
+
+
+@pytest.mark.parametrize("variable", [False, True])
+def test_pallas_kernel_oracle_parity(variable):
+    rng = np.random.default_rng(3)
+    n, r, tile = 2000, 0.08, 32
+    pts_np = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    rad_np = rng.uniform(0.8 * r, 1.2 * r, n).astype(np.float32) \
+        if variable else None
+    cell = 1.5 * (rad_np.min() if variable else r)
+    cfg = SearchConfig((n,), ((0, 0),), variable, variable, 1,
+                       1024, 512, 96)
+    knobs = FastKnobs(tile=tile, group=8, wcap=256, dense_cap=1 << 16,
+                      use_pallas=True, pre_cap=96, interpret=True)
+    sol, _ = build_and_search_fast_jit(
+        jnp.asarray(pts_np),
+        jnp.asarray(rad_np) if variable else None,
+        jnp.float32(0.0 if variable else r), jnp.float32(cell),
+        fresh_state(), cfg, knobs)
+    assert int(sol["cand_max"]) <= 256
+    assert int(sol["pairs"]["0-0"]["max_count"]) <= 96
+
+    orc = BruteforceNSearch(search_radius=None if variable else r,
+                            symmetric=variable)
+    orc.add_point_set(pts_np, rad_np)
+    orc.set_all_searches(True)
+    orc.run()
+    covered = _covered_mask(pts_np, cell, tile)
+    cnt = np.asarray(sol["pairs"]["0-0"]["counts"])
+    nb = np.asarray(sol["pairs"]["0-0"]["nbrs"])
+    n_checked = 0
+    for i in range(n):
+        if not covered[i]:
+            continue
+        got = np.sort(nb[i][: cnt[i]])
+        assert np.array_equal(got, orc.neighbors[(0, 0)][i]), i
+        n_checked += 1
+    # coverage is data/grid dependent; the point of the check is that a
+    # meaningful fraction of points exercised the kernel end-to-end
+    assert n_checked > 0.4 * n
+    # and the flag must be truthful: uncovered points exist => straddle set
+    assert int(sol["straddle"]) == int((~covered).any())

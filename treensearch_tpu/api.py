@@ -100,6 +100,9 @@ class TreeNSearch:
         self._group = 8
         self._wcap = _DEFAULT_WCAP
         self._dense_cap: Optional[int] = None  # sized from N on first run
+        # fused Pallas pair kernel (ops/pallas_pairs.py): on TPU by default
+        self._use_pallas = jax.default_backend() not in ("cpu",)
+        self._pallas_interpret = False
         self._grid_state: GridState = fresh_state()
         self._solution: Optional[NeighborSolution] = None
         self._zsort_maps: Optional[List[jnp.ndarray]] = None
@@ -212,6 +215,12 @@ class TreeNSearch:
     def set_candidate_cap(self, cap: int) -> None:
         self._cand_cap = int(cap)
 
+    def set_use_pallas(self, enabled: bool, interpret: bool = False) -> None:
+        """Toggle the fused Pallas pair kernel (default: on for TPU).
+        ``interpret=True`` runs it in the Pallas interpreter (CPU tests)."""
+        self._use_pallas = bool(enabled)
+        self._pallas_interpret = bool(interpret)
+
     # ---------------------------------------------------------------- run
     def run(self) -> None:
         """Execute the search and build all active neighbor lists
@@ -247,9 +256,11 @@ class TreeNSearch:
         }
 
     def _default_dense_cap(self) -> int:
+        # SPH-like data occupies ~N/20 cells at the default cell size;
+        # N/2 table slots leave ample headroom and grow on overflow.
         n = max(self.get_total_n_points(), 1)
         cap = 1 << 16
-        while cap < 4 * n and cap < _MAX_DENSE_CAP:
+        while cap < n // 2 and cap < _MAX_DENSE_CAP:
             cap <<= 1
         return cap
 
@@ -263,7 +274,9 @@ class TreeNSearch:
             if use_fast:
                 knobs = FastKnobs(tile=self._tile, group=self._group,
                                   wcap=self._wcap,
-                                  dense_cap=self._dense_cap)
+                                  dense_cap=self._dense_cap,
+                                  use_pallas=self._use_pallas,
+                                  interpret=self._pallas_interpret)
                 sol, state = build_and_search_fast_jit(
                     points, radii, jnp.float32(sr), jnp.float32(cell),
                     self._grid_state, cfg, knobs)
@@ -282,6 +295,15 @@ class TreeNSearch:
                     self._dense_cap = min(self._dense_cap * 8, _MAX_DENSE_CAP)
                 else:
                     use_fast = False  # domain too sparse for a dense table
+                continue
+            if use_fast and int(sol["straddle"]) != 0:
+                # a tile spans >= 3 grid rows: shrink tiles until they fit
+                # within two rows; for extremely sparse rows fall back to
+                # the search-based reference path
+                if self._tile > 8:
+                    self._tile //= 2
+                else:
+                    use_fast = False
                 continue
             cand_max = int(sol["cand_max"])
             cand_limit = self._wcap if use_fast else self._cand_cap
@@ -454,7 +476,9 @@ class TreeNSearch:
         if self._dense_cap is None:
             self._dense_cap = self._default_dense_cap()
         knobs = FastKnobs(tile=self._tile, group=self._group,
-                          wcap=self._wcap, dense_cap=self._dense_cap)
+                          wcap=self._wcap, dense_cap=self._dense_cap,
+                          use_pallas=self._use_pallas,
+                          interpret=self._pallas_interpret)
 
         def step(state, points, radii=None):
             if fast:

@@ -63,11 +63,66 @@ class FastKnobs(NamedTuple):
     group: int = 8         # tiles per lax.map iteration (vmapped)
     wcap: int = 256        # max points per stencil-row window
     dense_cap: int = 1 << 22  # dense cell-table slots
+    use_pallas: bool = False   # fused Pallas pair kernel (ops/pallas_pairs)
+    pre_cap: int = 64          # per-window pre-compaction width (pallas)
+    interpret: bool = False    # pallas interpreter mode (CPU tests)
 
 
 def _lin_coords(ijk: jnp.ndarray, w: int, dy: jnp.ndarray, dz: jnp.ndarray):
     """Padded linear cell id; ijk are unpadded int32 coords (N, 3)."""
     return ((ijk[..., 0] + w) * dy + (ijk[..., 1] + w)) * dz + (ijk[..., 2] + w)
+
+
+def _window_descriptors(ijk_s, table, n, tile, w, dy, dz, dense_cap,
+                        offs_2d):
+    """Vectorized per-tile window descriptors for the Pallas kernel:
+    starts/lens (n_tiles, 2R) int32 ([R A-subwindows] + [R B-subwindows],
+    see tile_body), plus the straddle flag and max window length."""
+    n_tiles = -(-n // tile)
+    t = jnp.arange(n_tiles, dtype=jnp.int32)
+    p0 = jnp.minimum(t * tile, n - 1)
+    p1 = jnp.minimum(t * tile + tile - 1, n - 1)
+    ijk0 = ijk_s[p0]
+    ijk1 = ijk_s[p1]
+    same = (ijk0[:, 0] == ijk1[:, 0]) & (ijk0[:, 1] == ijk1[:, 1])
+
+    # Tight k-extents: for a row-crossing tile, subwindow A must only span
+    # up to the k of the tile's LAST point in the first row (not the row
+    # end — near sparse boundary rows that pulls in entire dense neighbor
+    # rows), and B from the k of the FIRST point in the last row.
+    row0_base = ((ijk0[:, 0] + w) * dy + (ijk0[:, 1] + w)) * dz
+    row1_base = ((ijk1[:, 0] + w) * dy + (ijk1[:, 1] + w)) * dz
+    end_first = table[jnp.clip(row0_base + dz, 0, dense_cap)]
+    start_last = table[jnp.clip(row1_base, 0, dense_cap)]
+    idx_last_a = jnp.clip(jnp.minimum(p1, end_first - 1), 0, n - 1)
+    idx_first_b = jnp.clip(jnp.maximum(p0, start_last), 0, n - 1)
+    k_a = jnp.where(same, ijk1[:, 2], ijk_s[idx_last_a, 2])
+    k_b = ijk_s[idx_first_b, 2]
+
+    starts, lens = [], []
+    for (di, dj) in offs_2d:
+        a_base = ((ijk0[:, 0] + w + di) * dy + (ijk0[:, 1] + w + dj)) * dz
+        a0 = table[jnp.clip(a_base + ijk0[:, 2], 0, dense_cap)]
+        a1 = table[jnp.clip(a_base + k_a + 2 * w + 1, 0, dense_cap)]
+        starts.append(a0)
+        lens.append(jnp.maximum(a1 - a0, 0))
+    for (di, dj) in offs_2d:
+        b_base = ((ijk1[:, 0] + w + di) * dy + (ijk1[:, 1] + w + dj)) * dz
+        b0 = table[jnp.clip(b_base + k_b, 0, dense_cap)]
+        b1 = table[jnp.clip(b_base + ijk1[:, 2] + 2 * w + 1, 0, dense_cap)]
+        starts.append(b0)
+        lens.append(jnp.where(same, 0, jnp.maximum(b1 - b0, 0)))
+    starts = jnp.stack(starts, axis=1)
+    lens = jnp.stack(lens, axis=1)
+
+    tile_of = jnp.minimum(jnp.arange(n, dtype=jnp.int32) // tile,
+                          n_tiles - 1)
+    covered = (((ijk_s[:, 0] == ijk0[tile_of, 0])
+                & (ijk_s[:, 1] == ijk0[tile_of, 1]))
+               | ((ijk_s[:, 0] == ijk1[tile_of, 0])
+                  & (ijk_s[:, 1] == ijk1[tile_of, 1])))
+    straddle = jnp.any(~covered).astype(jnp.int32)
+    return starts, lens, straddle, jnp.max(lens)
 
 
 def build_and_search_fast(points: jnp.ndarray,
@@ -82,6 +137,7 @@ def build_and_search_fast(points: jnp.ndarray,
     if n == 0:
         sol = _empty_solution(cfg, state)
         sol["dense_overflow"] = jnp.zeros((), jnp.int32)
+        sol["straddle"] = jnp.zeros((), jnp.int32)
         return sol, state
 
     w = cfg.stencil_w
@@ -110,10 +166,20 @@ def build_and_search_fast(points: jnp.ndarray,
     r_s = radii[idx_s] if cfg.variable else None
     ijk_s = K.quantize(pts_s, state.grid_min, inv_cell, state.n_cells)
 
-    # dense cell-start table with reverse-cummin backfill
-    table = jnp.full((dense_cap + 1,), n, jnp.int32)
-    table = table.at[lin_s].min(iota)
-    table = jax.lax.associative_scan(jnp.minimum, table, reverse=True)
+    # Dense cell table: table[q] = number of points with lin < q, i.e. the
+    # sorted start index of cell q with empty cells naturally pointing at
+    # the next occupied cell.  Built as histogram + cumsum; the cumsum is
+    # blocked 2-level because XLA's TPU lowering of both
+    # lax.associative_scan and 1-D jnp.cumsum at multi-million element
+    # sizes takes minutes to compile (measured 2026-08-16).
+    hist = jnp.zeros((dense_cap + 1,), jnp.int32).at[lin + 1].add(1)
+    blk = 1 << max(1, ((dense_cap + 1).bit_length() // 2))
+    pad_len = (-(dense_cap + 1)) % blk
+    h2 = jnp.pad(hist, (0, pad_len)).reshape(blk, -1)
+    within = jnp.cumsum(h2, axis=1)
+    row_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(within[:, -1])[:-1]])
+    table = (within + row_off[:, None]).reshape(-1)[: dense_cap + 1]
 
     # packed candidate fields, padded by wcap rows so window slices never
     # clamp (padding rows carry orig index n => masked out)
@@ -136,12 +202,90 @@ def build_and_search_fast(points: jnp.ndarray,
     n_groups = -(-n_tiles // group)
     k_sel = cfg.nbr_cap
 
+    pallas_ok = (knobs.use_pallas and cfg.n_sets == 1
+                 and cfg.active_pairs == ((0, 0),) and n < (1 << 24)
+                 and w <= 2)
+    if pallas_ok:
+        from .pallas_pairs import (DESC_W, LENS_OFF, N_FIELDS,
+                                   make_pairs_call)
+
+        starts, lens, straddle, win_max = _window_descriptors(
+            ijk_s, table, n, tile, w, dy, dz, dense_cap, offs_2d)
+        starts = jnp.minimum(starts, n)  # slices stay inside padded arrays
+        n_win = starts.shape[1]
+        nt8 = -(-n_tiles // 8) * 8
+        desc = jnp.zeros((nt8, DESC_W), jnp.int32)
+        desc = desc.at[:n_tiles, :n_win].set(starts)
+        desc = desc.at[:n_tiles, LENS_OFF:LENS_OFF + n_win].set(lens)
+
+        n_qpad = n_tiles * tile
+        rfield = r_s if cfg.variable else jnp.zeros((n,), jnp.float32)
+        rec = jnp.stack([pts_s[:, 0], pts_s[:, 1], pts_s[:, 2], rfield,
+                         idx_s.astype(jnp.float32),
+                         set_id_s.astype(jnp.float32),
+                         jnp.zeros((n,), jnp.float32),
+                         jnp.zeros((n,), jnp.float32)], axis=1)
+        pad_row = jnp.zeros((1, N_FIELDS), jnp.float32).at[0, 4].set(
+            jnp.float32(n))
+        rec_q = jnp.concatenate(
+            [rec, jnp.broadcast_to(pad_row, (n_qpad - n, N_FIELDS))], axis=0)
+        rec_t = jnp.concatenate(  # +128 for the kernel's aligned DMA slack
+            [rec, jnp.broadcast_to(pad_row, (wcap + 128, N_FIELDS))],
+            axis=0).T
+
+        params = jnp.zeros((8, DESC_W), jnp.float32)
+        params = params.at[0, 0].set(state.grid_min[0])
+        params = params.at[0, 1].set(state.grid_min[1])
+        params = params.at[0, 2].set(state.grid_min[2])
+        params = params.at[0, 3].set(inv_cell.astype(jnp.float32))
+        params = params.at[0, 4].set(kx.astype(jnp.float32))
+        params = params.at[0, 5].set(ky.astype(jnp.float32))
+        params = params.at[0, 6].set(kz.astype(jnp.float32))
+        params = params.at[0, 7].set(r2_fixed)
+        params = params.at[0, 8].set(jnp.float32(n))
+        params = params.at[0, 9].set(jnp.float32(w))
+
+        call = make_pairs_call(tile, wcap, knobs.pre_cap, cfg.nbr_cap,
+                               offs_2d, cfg.variable, cfg.symmetric,
+                               interpret=knobs.interpret)
+        counts_flat, nbrs_flat = call(n_tiles, desc, params, rec_q, rec_t)
+        mapped = {
+            "cand_total": win_max[None],
+            "straddle": straddle[None],
+            _pair_name(0, 0): {"counts": counts_flat.reshape(-1),
+                               "nbrs": nbrs_flat},
+        }
+        return _finalize(mapped, idx_s, n, state, cfg, k_sel,
+                         dense_overflow, lin_s), state
+
     def tile_body(t):
-        """One tile of `tile` consecutive sorted query points."""
+        """One tile of `tile` consecutive sorted query points.
+
+        Stencil windows are computed per (di, dj) as TWO row-bounded
+        subwindows — one in the (i, j) row of the tile's first point, one
+        in the row of its last point — merged into a single wcap-wide
+        buffer with a dynamic roll.  Points are contiguous in k within a
+        row, so these cover every tile point's stencil run exactly unless
+        the tile spans >= 3 distinct (i, j) rows; that rare case raises
+        the ``straddle`` flag and the host falls back to the search-based
+        pipeline.  This keeps window width ~ tile + stencil slack instead
+        of blowing up to whole grid rows when a tile crosses a row
+        boundary.
+        """
         p0 = jnp.minimum(t * tile, n - 1)
         p1 = jnp.minimum(t * tile + tile - 1, n - 1)
         ijk0 = ijk_s[p0]
         ijk1 = ijk_s[p1]
+        same_row = (ijk0[0] == ijk1[0]) & (ijk0[1] == ijk1[1])
+        # tight k-extents for crossing tiles (see _window_descriptors)
+        row0_base = ((ijk0[0] + w) * dy + (ijk0[1] + w)) * dz
+        row1_base = ((ijk1[0] + w) * dy + (ijk1[1] + w)) * dz
+        end_first = table[jnp.clip(row0_base + dz, 0, dense_cap)]
+        start_last = table[jnp.clip(row1_base, 0, dense_cap)]
+        k_a = jnp.where(
+            same_row, ijk1[2],
+            ijk_s[jnp.clip(jnp.minimum(p1, end_first - 1), 0, n - 1), 2])
+        k_b = ijk_s[jnp.clip(jnp.maximum(p0, start_last), 0, n - 1), 2]
 
         base = t * tile + jnp.arange(tile, dtype=jnp.int32)
         base_c = jnp.minimum(base, n - 1)
@@ -158,21 +302,29 @@ def build_and_search_fast(points: jnp.ndarray,
         gx, gy, gz = state.grid_min[0], state.grid_min[1], state.grid_min[2]
 
         def window(di, dj):
-            # window hull: monotone shifted queries => [start(first pt),
-            # end(last pt)] is the exact union of the tile's ranges
-            q_lo = (((ijk0[0] + w + di) * dy + (ijk0[1] + w + dj)) * dz
-                    + ijk0[2])
-            q_hi = (((ijk1[0] + w + di) * dy + (ijk1[1] + w + dj)) * dz
-                    + (ijk1[2] + 2 * w))
-            start = table[jnp.clip(q_lo, 0, dense_cap)]
-            end = table[jnp.clip(q_hi + 1, 0, dense_cap)]
-            ln = jnp.maximum(end - start, 0)
+            # subwindow A: stencil k-run within the first point's row
+            a_base = ((ijk0[0] + w + di) * dy + (ijk0[1] + w + dj)) * dz
+            a0 = table[jnp.clip(a_base + ijk0[2], 0, dense_cap)]
+            a1 = table[jnp.clip(a_base + k_a + 2 * w + 1, 0, dense_cap)]
+            len_a = jnp.maximum(a1 - a0, 0)
+            # subwindow B: stencil k-run within the last point's row
+            b_base = ((ijk1[0] + w + di) * dy + (ijk1[1] + w + dj)) * dz
+            b0 = table[jnp.clip(b_base + k_b, 0, dense_cap)]
+            b1 = table[jnp.clip(b_base + ijk1[2] + 2 * w + 1, 0, dense_cap)]
+            len_b = jnp.where(same_row, 0, jnp.maximum(b1 - b0, 0))
+            ln = len_a + len_b
 
-            wx = jax.lax.dynamic_slice(xf, (start,), (wcap,))[None, :]
-            wy = jax.lax.dynamic_slice(yf, (start,), (wcap,))[None, :]
-            wz = jax.lax.dynamic_slice(zf, (start,), (wcap,))[None, :]
-            wo = jax.lax.dynamic_slice(of, (start,), (wcap,))[None, :]
-            ws = jax.lax.dynamic_slice(sf, (start,), (wcap,))[None, :]
+            def load(field):
+                wa = jax.lax.dynamic_slice(field, (a0,), (wcap,))
+                wb = jax.lax.dynamic_slice(field, (b0,), (wcap,))
+                return jnp.where(slot_in_win[0] < len_a, wa,
+                                 jnp.roll(wb, len_a))[None, :]
+
+            wx = load(xf)
+            wy = load(yf)
+            wz = load(zf)
+            wo = load(of)
+            ws = load(sf)
 
             ddx = wx - qx
             ddy = wy - qy
@@ -181,7 +333,7 @@ def build_and_search_fast(points: jnp.ndarray,
             if cfg.variable:
                 crit = d2 <= my_r2
                 if cfg.symmetric:
-                    wr = jax.lax.dynamic_slice(rf, (start,), (wcap,))[None, :]
+                    wr = load(rf)
                     crit = crit | (d2 <= wr * wr)
             else:
                 crit = d2 <= r2_fixed
@@ -209,6 +361,12 @@ def build_and_search_fast(points: jnp.ndarray,
             return m, loc_j * jnp.ones((tile, 1), jnp.int32), \
                 ws * jnp.ones((tile, 1), jnp.int32), ln
 
+        # a point in neither the first nor the last point's row is not
+        # covered by the two subwindows -> flag for host fallback
+        covered = (((q_i[:, 0] == ijk0[0]) & (q_j[:, 0] == ijk0[1]))
+                   | ((q_i[:, 0] == ijk1[0]) & (q_j[:, 0] == ijk1[1])))
+        straddle = jnp.any(row_valid & ~covered).astype(jnp.int32)
+
         offs = np.asarray(offs_2d, np.int32)
         m9, lj9, ws9, ln9 = jax.vmap(window)(
             jnp.asarray(offs[:, 0]), jnp.asarray(offs[:, 1]))
@@ -218,7 +376,7 @@ def build_and_search_fast(points: jnp.ndarray,
         wset_all = jnp.transpose(ws9, (1, 0, 2)).reshape(tile, m_width)
         win_max = jnp.max(ln9)
 
-        out = {"cand_total": win_max}
+        out = {"cand_total": win_max, "straddle": straddle}
         for (si, sj) in cfg.active_pairs:
             pm = mask_all & (my_set == si)[:, None]
             if cfg.n_sets > 1:
@@ -233,8 +391,13 @@ def build_and_search_fast(points: jnp.ndarray,
         return jax.vmap(tile_body)(ts)
 
     mapped = jax.lax.map(group_body, jnp.arange(n_groups, dtype=jnp.int32))
-    # flatten (n_groups, group, tile, ...) -> (n_groups*group*tile, ...)
+    return _finalize(mapped, idx_s, n, state, cfg, k_sel, dense_overflow,
+                     lin_s), state
 
+
+def _finalize(mapped, idx_s, n, state, cfg, k_sel, dense_overflow, lin_s):
+    """Un-permute tile outputs (sorted order) to per-set original order."""
+    iota = jnp.arange(n, dtype=jnp.int32)
     inv_perm = jnp.zeros((n,), jnp.int32).at[idx_s].set(iota,
                                                         unique_indices=True)
     pairs = {}
@@ -260,14 +423,14 @@ def build_and_search_fast(points: jnp.ndarray,
     else:
         n_cells_stat = jnp.asarray(n, jnp.int32)
 
-    solution = {
+    return {
         "pairs": pairs,
         "cand_max": jnp.max(mapped["cand_total"]),  # widest window seen
         "n_cells": n_cells_stat,
         "error": state.error,
         "dense_overflow": dense_overflow,
+        "straddle": jnp.max(mapped["straddle"]),
     }
-    return solution, state
 
 
 @partial(jax.jit, static_argnames=("cfg", "knobs"))
