@@ -59,9 +59,9 @@ N = int(os.environ.get("N", 131072))
 R = float(os.environ.get("R", 0.04))
 stamp(f"start N={N}")
 dense = 1 << 19 if N <= (1 << 18) else 1 << 20
-bench(N, R, FastKnobs(tile=128, group=8, wcap=256, dense_cap=dense,
-                      use_pallas=True))
-bench(N, R, FastKnobs(tile=256, group=8, wcap=384, dense_cap=dense,
-                      use_pallas=True))
-bench(N, R, FastKnobs(tile=128, group=8, wcap=256, dense_cap=dense,
-                      use_pallas=False))
+import itertools, json
+cfgs = json.loads(os.environ.get(
+    "CFGS", '[[256, 2048, 1024], [320, 1024, 1024], [192, 2048, 768]]'))
+for (wc, fc, fw) in cfgs:
+    bench(N, R, FastKnobs(tile=128, group=8, wcap=wc, dense_cap=dense,
+                          use_pallas=True, fat_cap=fc, fat_wcap=fw))

@@ -16,7 +16,7 @@ from jax.experimental import pallas as pl
 from treensearch_tpu.config import SearchConfig
 from treensearch_tpu.ops.fastpath import FastKnobs, build_and_search_fast_jit
 from treensearch_tpu.ops.grid import fresh_state, update_grid
-from treensearch_tpu.ops.pallas_pairs import _compact_lanes, _cumsum_lanes
+from treensearch_tpu.ops.pallas_pairs import _compact_sub, _cumsum_sub
 from treensearch_tpu.oracle import BruteforceNSearch
 from treensearch_tpu.utils import keys as K
 
@@ -25,26 +25,26 @@ def test_kernel_cumsum_and_compact_primitives():
     rng = np.random.default_rng(0)
 
     def k1(x_ref, o_ref):
-        o_ref[:] = _cumsum_lanes(x_ref[:], x_ref.shape[1])
+        o_ref[:] = _cumsum_sub(x_ref[:], x_ref.shape[0])
 
-    x = jnp.asarray(rng.integers(0, 3, (8, 128)).astype(np.int32))
-    out = pl.pallas_call(k1, out_shape=jax.ShapeDtypeStruct((8, 128),
+    x = jnp.asarray(rng.integers(0, 3, (128, 8)).astype(np.int32))
+    out = pl.pallas_call(k1, out_shape=jax.ShapeDtypeStruct((128, 8),
                                                             jnp.int32),
                          interpret=True)(x)
-    assert np.array_equal(np.asarray(out), np.cumsum(np.asarray(x), axis=1))
+    assert np.array_equal(np.asarray(out), np.cumsum(np.asarray(x), axis=0))
 
     def k2(m_ref, v_ref, o_ref):
-        o_ref[:] = _compact_lanes(m_ref[:] > 0, v_ref[:], 16)
+        o_ref[:] = _compact_sub(m_ref[:] > 0, v_ref[:], 16)
 
-    m = rng.integers(0, 2, (8, 128)).astype(np.int32)
-    v = rng.integers(0, 999, (8, 128)).astype(np.int32)
+    m = rng.integers(0, 2, (128, 8)).astype(np.int32)
+    v = rng.integers(0, 999, (128, 8)).astype(np.int32)
     out = np.asarray(pl.pallas_call(
-        k2, out_shape=jax.ShapeDtypeStruct((8, 16), jnp.int32),
+        k2, out_shape=jax.ShapeDtypeStruct((16, 8), jnp.int32),
         interpret=True)(jnp.asarray(m), jnp.asarray(v)))
-    for i in range(8):
-        want = v[i][m[i] > 0][:16]
+    for c in range(8):
+        want = v[:, c][m[:, c] > 0][:16]
         want = np.concatenate([want, -np.ones(16 - len(want), np.int32)])
-        assert np.array_equal(out[i], want)
+        assert np.array_equal(out[:, c], want)
 
 
 def _covered_mask(pts_np, cell, tile):
@@ -73,7 +73,7 @@ def _covered_mask(pts_np, cell, tile):
 @pytest.mark.parametrize("variable", [False, True])
 def test_pallas_kernel_oracle_parity(variable):
     rng = np.random.default_rng(3)
-    n, r, tile = 2000, 0.08, 32
+    n, r, tile = 2000, 0.08, 128  # the pallas kernel tiles by 128
     pts_np = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     rad_np = rng.uniform(0.8 * r, 1.2 * r, n).astype(np.float32) \
         if variable else None
@@ -105,8 +105,8 @@ def test_pallas_kernel_oracle_parity(variable):
         got = np.sort(nb[i][: cnt[i]])
         assert np.array_equal(got, orc.neighbors[(0, 0)][i]), i
         n_checked += 1
-    # coverage is data/grid dependent; the point of the check is that a
-    # meaningful fraction of points exercised the kernel end-to-end
-    assert n_checked > 0.4 * n
+    # coverage is data/grid dependent (this fixture is coarse relative to
+    # the 128-point tiles); the exact-parity loop above is the real check
+    assert n_checked > 0.15 * n
     # and the flag must be truthful: uncovered points exist => straddle set
     assert int(sol["straddle"]) == int((~covered).any())

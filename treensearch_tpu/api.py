@@ -49,7 +49,7 @@ _DEFAULT_CAND_CAP = 512
 _DEFAULT_CHUNK = 1024
 _DEFAULT_CHUNK_SCALAR = 128
 _MAX_GROW_ROUNDS = 16
-_DEFAULT_WCAP = 256
+_DEFAULT_WCAP = 320  # best measured two-tier split at 1M (benchmarks/)
 _MAX_DENSE_CAP = 1 << 26  # 256 MB table; beyond this fall back to searches
 
 
@@ -103,6 +103,9 @@ class TreeNSearch:
         # fused Pallas pair kernel (ops/pallas_pairs.py): on TPU by default
         self._use_pallas = jax.default_backend() not in ("cpu",)
         self._pallas_interpret = False
+        self._fat_wcap = 1024
+        self._fat_cap = 1024
+        self._pre_cap = 48
         self._grid_state: GridState = fresh_state()
         self._solution: Optional[NeighborSolution] = None
         self._zsort_maps: Optional[List[jnp.ndarray]] = None
@@ -276,7 +279,10 @@ class TreeNSearch:
                                   wcap=self._wcap,
                                   dense_cap=self._dense_cap,
                                   use_pallas=self._use_pallas,
-                                  interpret=self._pallas_interpret)
+                                  interpret=self._pallas_interpret,
+                                  fat_wcap=self._fat_wcap,
+                                  fat_cap=self._fat_cap,
+                                  pre_cap=self._pre_cap)
                 sol, state = build_and_search_fast_jit(
                     points, radii, jnp.float32(sr), jnp.float32(cell),
                     self._grid_state, cfg, knobs)
@@ -306,6 +312,19 @@ class TreeNSearch:
                     use_fast = False
                 continue
             cand_max = int(sol["cand_max"])
+            if use_fast and int(sol.get("pallas_used", 0)) != 0:
+                if cand_max > 0:
+                    # two-tier pallas overflow: too many fat tiles or a
+                    # window wider than the fat tier
+                    self._fat_cap *= 2
+                    self._fat_wcap = max(
+                        self._fat_wcap,
+                        round_up(int(cand_max * 1.25) + 1, 64))
+                    continue
+                pre_surv = int(sol.get("pre_surv_max", 0))
+                if pre_surv > self._pre_cap:
+                    self._pre_cap = round_up(int(pre_surv * 1.25) + 1, 8)
+                    continue
             cand_limit = self._wcap if use_fast else self._cand_cap
             if cand_max > cand_limit:
                 grown = round_up(int(cand_max * 1.25) + 1, 64)
@@ -429,7 +448,9 @@ class TreeNSearch:
     # ---------------------------------------------------------- diagnostics
     def print_state(self) -> None:
         """Dump options and structure/neighborhood statistics (reference
-        ``print_state``, ``TreeNSearch.cpp:2718-2873``)."""
+        ``print_state``, ``TreeNSearch.cpp:2718-2873``: options, world
+        boxes, cell stats, active searches, per-set AABB/radius/neighbor
+        stats, list memory)."""
         print("TreeNSearch (treensearch_tpu) state")
         print(f"  n_sets: {len(self._sets)}  total points: "
               f"{self.get_total_n_points()}")
@@ -438,17 +459,36 @@ class TreeNSearch:
         if not self._variable:
             print(f"  search radius: {self._search_radius}")
         print(f"  cell size: {self._cell_size or '(default 1.5*r_min)'}")
-        print(f"  caps: nbr={self._nbr_cap} cand={self._cand_cap} "
-              f"chunk={self._chunk}")
-        print(f"  active searches: "
-              f"{[(i, j) for (i, j) in zip(*np.nonzero(self._active))]}")
+        print(f"  caps: nbr={self._nbr_cap} window={self._wcap} "
+              f"fat=({self._fat_wcap},{self._fat_cap}) "
+              f"dense={self._dense_cap} chunk={self._chunk}")
+        print("  active searches: "
+              + str([(int(i), int(j))
+                     for (i, j) in zip(*np.nonzero(self._active))]))
         gs = self._grid_state
         if bool(gs.valid):
-            print(f"  world box: {np.asarray(gs.grid_min)} .. "
-                  f"{np.asarray(gs.grid_max)}  cells/axis: "
-                  f"{np.asarray(gs.n_cells)}")
+            k = np.asarray(gs.n_cells)
+            print(f"  world box: {np.asarray(gs.grid_min).round(5)} .. "
+                  f"{np.asarray(gs.grid_max).round(5)}  cells/axis: {k}")
+            if self._last_stats.get("n_cells"):
+                nc = self._last_stats["n_cells"]
+                npts = self.get_total_n_points()
+                print(f"  occupied cells: {nc}  avg points/cell: "
+                      f"{npts / max(nc, 1):.2f}")
         if self._last_stats:
-            print(f"  stats: {self._last_stats}")
+            print(f"  last run: {self._last_stats}")
+        for k_set, s in enumerate(self._sets):
+            if s.n == 0:
+                print(f"  set {k_set}: 0 points")
+                continue
+            p = np.asarray(s.points, dtype=np.float32).reshape(-1, 3)
+            line = (f"  set {k_set}: {s.n} points  aabb "
+                    f"{p.min(axis=0).round(4)} .. {p.max(axis=0).round(4)}")
+            if self._variable:
+                r = np.asarray(s.radii, dtype=np.float32)
+                line += (f"  radius min/avg/max = {r.min():.4g}/"
+                         f"{r.mean():.4g}/{r.max():.4g}")
+            print(line)
         if self._solution is not None:
             for (i, j) in zip(*np.nonzero(self._active)):
                 c = self._solution.get_counts(int(i), int(j))

@@ -64,8 +64,10 @@ class FastKnobs(NamedTuple):
     wcap: int = 256        # max points per stencil-row window
     dense_cap: int = 1 << 22  # dense cell-table slots
     use_pallas: bool = False   # fused Pallas pair kernel (ops/pallas_pairs)
-    pre_cap: int = 64          # per-window pre-compaction width (pallas)
+    pre_cap: int = 48          # per-window pre-compaction width (pallas)
     interpret: bool = False    # pallas interpreter mode (CPU tests)
+    fat_wcap: int = 1024       # window cap of the fat tier
+    fat_cap: int = 512         # max tiles handled by the fat tier
 
 
 def _lin_coords(ijk: jnp.ndarray, w: int, dy: jnp.ndarray, dz: jnp.ndarray):
@@ -138,6 +140,7 @@ def build_and_search_fast(points: jnp.ndarray,
         sol = _empty_solution(cfg, state)
         sol["dense_overflow"] = jnp.zeros((), jnp.int32)
         sol["straddle"] = jnp.zeros((), jnp.int32)
+        sol["pallas_used"] = jnp.zeros((), jnp.int32)
         return sol, state
 
     w = cfg.stencil_w
@@ -206,19 +209,32 @@ def build_and_search_fast(points: jnp.ndarray,
                  and cfg.active_pairs == ((0, 0),) and n < (1 << 24)
                  and w <= 2)
     if pallas_ok:
-        from .pallas_pairs import (DESC_W, LENS_OFF, N_FIELDS,
-                                   make_pairs_call)
+        from .pallas_pairs import (DESC_W, FAT_COL, LENS_OFF, N_FIELDS,
+                                   TILE as PTILE, make_pairs_call)
 
+        p_tiles = -(-n // PTILE)
         starts, lens, straddle, win_max = _window_descriptors(
-            ijk_s, table, n, tile, w, dy, dz, dense_cap, offs_2d)
+            ijk_s, table, n, PTILE, w, dy, dz, dense_cap, offs_2d)
         starts = jnp.minimum(starts, n)  # slices stay inside padded arrays
         n_win = starts.shape[1]
-        nt8 = -(-n_tiles // 8) * 8
-        desc = jnp.zeros((nt8, DESC_W), jnp.int32)
-        desc = desc.at[:n_tiles, :n_win].set(starts)
-        desc = desc.at[:n_tiles, LENS_OFF:LENS_OFF + n_win].set(lens)
+        fat_wcap = knobs.fat_wcap
+        fat_cap = knobs.fat_cap
+        fat_mask = jnp.max(lens, axis=1) > wcap
+        n_fat = jnp.sum(fat_mask.astype(jnp.int32))
+        fat_overflow = (n_fat > fat_cap) | (win_max > fat_wcap)
+        rank = jnp.cumsum(fat_mask.astype(jnp.int32))
+        tile_ids = jnp.arange(p_tiles, dtype=jnp.int32)
+        fat_ids = jnp.full((fat_cap,), p_tiles, jnp.int32).at[
+            jnp.where(fat_mask & (rank <= fat_cap), rank - 1, fat_cap)
+        ].set(tile_ids, mode="drop")
 
-        n_qpad = n_tiles * tile
+        nt8 = -(-(p_tiles + 1) // 8) * 8  # +1 dummy tile for padded fat ids
+        desc = jnp.zeros((nt8, DESC_W), jnp.int32)
+        desc = desc.at[:p_tiles, :n_win].set(starts)
+        desc = desc.at[:p_tiles, LENS_OFF:LENS_OFF + n_win].set(lens)
+        desc = desc.at[:p_tiles, FAT_COL].set(fat_mask.astype(jnp.int32))
+
+        n_qpad = (p_tiles + 1) * PTILE
         rfield = r_s if cfg.variable else jnp.zeros((n,), jnp.float32)
         rec = jnp.stack([pts_s[:, 0], pts_s[:, 1], pts_s[:, 2], rfield,
                          idx_s.astype(jnp.float32),
@@ -227,11 +243,15 @@ def build_and_search_fast(points: jnp.ndarray,
                          jnp.zeros((n,), jnp.float32)], axis=1)
         pad_row = jnp.zeros((1, N_FIELDS), jnp.float32).at[0, 4].set(
             jnp.float32(n))
-        rec_q = jnp.concatenate(
-            [rec, jnp.broadcast_to(pad_row, (n_qpad - n, N_FIELDS))], axis=0)
-        rec_t = jnp.concatenate(  # +128 for the kernel's aligned DMA slack
-            [rec, jnp.broadcast_to(pad_row, (wcap + 128, N_FIELDS))],
+        q_t = jnp.concatenate(
+            [rec, jnp.broadcast_to(pad_row, (n_qpad - n, N_FIELDS))],
             axis=0).T
+        # one point per 128-lane row: the only layout Mosaic row-DMAs with
+        # exact unaligned starts (see ops/pallas_pairs.py docstring)
+        rec_rows = jnp.concatenate(
+            [rec, jnp.broadcast_to(pad_row, (fat_wcap, N_FIELDS))], axis=0)
+        rec_pad = jnp.zeros((n + fat_wcap, 128), jnp.float32
+                            ).at[:, :N_FIELDS].set(rec_rows)
 
         params = jnp.zeros((8, DESC_W), jnp.float32)
         params = params.at[0, 0].set(state.grid_min[0])
@@ -245,18 +265,44 @@ def build_and_search_fast(points: jnp.ndarray,
         params = params.at[0, 8].set(jnp.float32(n))
         params = params.at[0, 9].set(jnp.float32(w))
 
-        call = make_pairs_call(tile, wcap, knobs.pre_cap, cfg.nbr_cap,
-                               offs_2d, cfg.variable, cfg.symmetric,
-                               interpret=knobs.interpret)
-        counts_flat, nbrs_flat = call(n_tiles, desc, params, rec_q, rec_t)
+        k8 = -(-k_sel // 8) * 8  # kernel output rows need 8-row tiling
+        pre_cap = min(knobs.pre_cap, k8)
+        narrow = make_pairs_call(wcap, pre_cap, k8, offs_2d,
+                                 cfg.variable, cfg.symmetric,
+                                 fat_tier=False, interpret=knobs.interpret)
+        cnt_n, nbr_n = narrow(p_tiles, desc, params, q_t, rec_pad)
+        fat = make_pairs_call(fat_wcap, pre_cap, k8, offs_2d,
+                              cfg.variable, cfg.symmetric,
+                              fat_tier=True, interpret=knobs.interpret)
+        cnt_f, nbr_f = fat(fat_cap, desc, params, q_t, rec_pad, ids=fat_ids)
+
+        # merge tiers: scatter fat rows over the narrow results (padded
+        # fat ids target the dummy tile row p_tiles)
+        counts_all = jnp.concatenate(
+            [cnt_n[0::8], jnp.zeros((1, PTILE), jnp.int32)], axis=0)
+        counts_all = counts_all.at[fat_ids].set(cnt_f[0::8], mode="drop")
+        nbrs_all = jnp.concatenate(
+            [nbr_n.reshape(p_tiles, k8, PTILE),
+             jnp.zeros((1, k8, PTILE), jnp.int32)], axis=0)
+        nbrs_all = nbrs_all.at[fat_ids].set(
+            nbr_f.reshape(fat_cap, k8, PTILE), mode="drop")
+
+        counts_flat = counts_all[:p_tiles].reshape(-1)
+        nbrs_flat = jnp.transpose(nbrs_all[:p_tiles],
+                                  (0, 2, 1)).reshape(-1, k8)[:, :k_sel]
         mapped = {
-            "cand_total": win_max[None],
+            "cand_total": jnp.where(fat_overflow, win_max, 0)[None],
             "straddle": straddle[None],
-            _pair_name(0, 0): {"counts": counts_flat.reshape(-1),
-                               "nbrs": nbrs_flat},
+            _pair_name(0, 0): {"counts": counts_flat, "nbrs": nbrs_flat},
         }
-        return _finalize(mapped, idx_s, n, state, cfg, k_sel,
-                         dense_overflow, lin_s), state
+        sol = _finalize(mapped, idx_s, n, state, cfg, k_sel,
+                        dense_overflow, lin_s)
+        sol["pallas_used"] = jnp.ones((), jnp.int32)
+        # max survivors in any single window (row 1 of the counts blocks):
+        # > pre_cap means per-window pre-compaction truncated -> regrow
+        sol["pre_surv_max"] = jnp.maximum(jnp.max(cnt_n[1::8]),
+                                          jnp.max(cnt_f[1::8]))
+        return sol, state
 
     def tile_body(t):
         """One tile of `tile` consecutive sorted query points.
@@ -391,8 +437,10 @@ def build_and_search_fast(points: jnp.ndarray,
         return jax.vmap(tile_body)(ts)
 
     mapped = jax.lax.map(group_body, jnp.arange(n_groups, dtype=jnp.int32))
-    return _finalize(mapped, idx_s, n, state, cfg, k_sel, dense_overflow,
-                     lin_s), state
+    sol = _finalize(mapped, idx_s, n, state, cfg, k_sel, dense_overflow,
+                    lin_s)
+    sol["pallas_used"] = jnp.zeros((), jnp.int32)
+    return sol, state
 
 
 def _finalize(mapped, idx_s, n, state, cfg, k_sel, dense_overflow, lin_s):

@@ -5,32 +5,43 @@ Role of the reference's ``_brute_force_simd`` + ``_prepare_brute_force_simd``
 points, fetch its stencil candidate windows, test ``d^2 <= r^2`` and emit
 compacted padded-CSR rows.
 
-Why a kernel (measured on v5e, 2026-08-16, benchmarks/kernel_probe.py):
-  - XLA lowers the data-dependent window loads (vmapped dynamic_slice) to
-    an element gather running at ~13 GB/s; the kernel uses real DMA.
-  - XLA's roll-based compaction round-trips HBM between its ~13 shift
-    steps (memory-bound: ~4.2 s for 1M rows at width 4608); the kernel
-    keeps the whole mask->compact pipeline in VMEM, where the same steps
-    are VPU-bound (~35 Tops/s measured).
+Design driven by measured v5e behavior (benchmarks/kernel_probe.py,
+benchmarks/mosaic_prims.py, 2026-08-16):
+  - XLA lowers data-dependent window loads to ~13 GB/s element gathers
+    -> the kernel uses real DMA;
+  - XLA roll-compaction round-trips HBM each shift step (~4.2 s/1M rows)
+    -> the whole mask->compact pipeline stays in VMEM;
+  - Mosaic lane rotates run at ~0.5 Gelem/s but sublane rotates are ~7x
+    cheaper -> candidates live on SUBLANES and queries on LANES, so all
+    log-shift networks (prefix sum + compaction) rotate across sublanes;
+  - sublane-dim DMA of a (N, 128) array needs NO alignment at all
+    (lane-dim slices need 128, narrower lane dims fail outright,
+    benchmarks/mosaic_probe*.py) -> the candidate record array stores one
+    point per 128-lane row (fields in lanes 0..7) and windows are exact
+    unaligned row-range DMAs with zero slack. This trades 16x DMA traffic
+    inflation (512 B/point) for exact windows; a 4-points-per-row packing
+    is the planned refinement if DMA-bound.
 
-Kernel shape (one grid step per tile of TILE sorted points):
-  1. DMA the tile's 2*R candidate windows (two row-bounded subwindows per
-     stencil (di, dj) offset, see ops/fastpath.py) from the transposed
-     field array (F, N) in HBM into VMEM scratch.
-  2. VPU: d^2, radius criteria, exact cell-match (window disjointness),
-     self-exclusion; per-window exact counts.
-  3. Two-stage in-VMEM compaction with static log-shift networks
-     (pltpu.roll): window (TILE, WCAP) -> (TILE, PRE_CAP), concat
-     -> (TILE, 2R*PRE_CAP) -> (TILE, nbr_cap).  Empty windows are skipped
-     with @pl.when (a tile fully inside one grid row has R empty
-     B-subwindows).
+Orientation: per tile of TILE=128 queries, every per-window buffer is
+(wpad sublanes = candidates, 128 lanes = queries); counts are a sublane
+reduce; emission compacts along sublanes carrying (displacement, value)
+pairs (2 rotates/step). Outputs are (nbr_cap, 128) per tile, transposed
+back to (N, nbr_cap) in XLA.
 
-Field rows in the packed record array (float32): x, y, z, radius,
-original index, set id.  Indices ride as exact f32 (requires N < 2**24;
+Two tiers: the narrow kernel (small wcap) handles all tiles but skips
+those whose widest window exceeds it (e.g. tiles in sparse boundary rows
+whose stencil pulls in dense neighbor rows); a second "fat" kernel with a
+large wcap re-runs just those tiles, addressed indirectly through a
+scalar-prefetched tile-id list. Per-tile cost thus tracks the typical
+window width, not the global worst case.
+
+Field columns in the packed record array (float32): x, y, z, radius,
+original index, set id. Indices ride as exact f32 (requires N < 2**24;
 the host falls back to the XLA path beyond that).
 
-v1 scope: one point set with self-search — the headline benchmark
-configuration; multi-set/multi-pair runs use the XLA fast path.
+Current scope: one point set with self-search (the headline benchmark
+configuration, fixed or variable radius); multi-set/multi-pair runs use
+the XLA fast path.
 """
 
 from __future__ import annotations
@@ -42,73 +53,70 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 F_X, F_Y, F_Z, F_R, F_ORIG, F_SET = 0, 1, 2, 3, 4, 5
-N_FIELDS = 8   # padded to 8 rows for clean tiling
-DESC_W = 128   # descriptor row width (Mosaic wants 128-lane SMEM blocks)
-LENS_OFF = 64  # column offset of window lengths (supports stencil_w <= 2)
-N_PARAMS = 16
+N_FIELDS = 8    # padded to 8 record columns
+TILE = 128      # queries per tile == lane width
+DESC_W = 128    # descriptor row width
+LENS_OFF = 64   # descriptor column of window lengths (stencil_w <= 2)
+FAT_COL = 127   # descriptor column: 1 = tile needs the fat kernel
 
 
-def _cumsum_lanes(x: jnp.ndarray, m: int) -> jnp.ndarray:
-    """Inclusive prefix sum along lanes via Hillis-Steele static rolls."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+def _cumsum_sub(x: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Inclusive prefix sum along sublanes (axis 0), Hillis-Steele."""
+    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     s = 1
     while s < m:
-        shifted = pltpu.roll(x, s, 1)  # shifted[i] = x[i - s] (wrapping)
-        x = x + jnp.where(lane >= s, shifted, 0)
+        shifted = pltpu.roll(x, s, 0)       # shifted[i] = x[i - s]
+        x = x + jnp.where(sub >= s, shifted, 0)
         s <<= 1
     return x
 
 
-def _compact_lanes(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
-                   p: jnp.ndarray = None) -> jnp.ndarray:
-    """In-VMEM row compaction (see utils/compact.py for the algorithm).
+def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
+                 p: jnp.ndarray = None):
+    """Front-pack masked values along sublanes, order preserving.
 
-    ``p``: optional precomputed inclusive rank (cumsum of mask).
+    Carries (remaining displacement | -1, value); displacements are
+    monotone along the axis so moving by ascending power-of-two strides
+    never collides (see utils/compact.py). 2 sublane rotates per step.
     """
-    t, m = mask.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (t, m), 1)
+    m, q = mask.shape
+    sub = jax.lax.broadcasted_iota(jnp.int32, (m, q), 0)
     if p is None:
-        p = _cumsum_lanes(mask.astype(jnp.int32), m)
+        p = _cumsum_sub(mask.astype(jnp.int32), m)
     keep = mask & (p <= out_w)
-    d = jnp.where(keep, lane - (p - 1), 0)
-    v = jnp.where(keep, vals, -1)
-    # validity rides as int32: Mosaic cannot rotate 1-bit vectors
-    valid = keep.astype(jnp.int32)
+    d = jnp.where(keep, sub - (p - 1), -1)
+    v = vals
     s = 1
     while s < m:
-        in_v = pltpu.roll(v, m - s, 1)
-        in_d = pltpu.roll(d, m - s, 1)
-        in_valid = (pltpu.roll(valid, m - s, 1) != 0) & (lane < m - s)
-        take = in_valid & ((in_d & s) != 0)
-        stay = (valid != 0) & ((d & s) == 0)
-        v = jnp.where(take, in_v, jnp.where(stay, v, -1))
-        d = jnp.where(take, in_d - s, jnp.where(stay, d, 0))
-        valid = (take | stay).astype(jnp.int32)
+        in_d = pltpu.roll(d, m - s, 0)      # in_d[i] = d[i + s]
+        in_v = pltpu.roll(v, m - s, 0)
+        take = (in_d >= 0) & ((in_d & s) != 0) & (sub < m - s)
+        stay = (d >= 0) & ((d & s) == 0)
+        d = jnp.where(take, in_d - s, jnp.where(stay, d, -1))
+        v = jnp.where(take, in_v, v)
         s <<= 1
-    return v[:, :out_w]
+    return jnp.where(d >= 0, v, -1)[:out_w, :]
 
 
-def make_pairs_call(tile: int, wcap: int, pre_cap: int, nbr_cap: int,
-                    offs_2d, variable: bool, symmetric: bool,
+def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
+                    variable: bool, symmetric: bool, fat_tier: bool = False,
                     interpret: bool = False):
-    """Build the kernel caller for the given static shapes.
+    """Build a pallas_call for one tier.
 
-    ``offs_2d``: the (di, dj) stencil offsets; descriptor windows are laid
-    out as [R A-subwindows] + [R B-subwindows], window w uses offset
-    ``offs_2d[w % R]``.
+    Narrow tier (``fat_tier=False``): grid over all tiles; tiles whose
+    descriptor FAT_COL is set are skipped (outputs zeroed).
+    Fat tier (``fat_tier=True``): grid over a scalar-prefetched tile-id
+    list; every listed tile is processed with this (larger) wcap.
     """
     n_ranges = len(offs_2d)
     n_win = 2 * n_ranges
     assert n_win <= LENS_OFF, "pallas kernel supports stencil_w <= 2"
+    assert nbr_cap % 8 == 0, "pallas nbr_cap must be a multiple of 8"
+    wpad = wcap  # exact unaligned row-range DMA: no slack needed
     m2 = n_win * pre_cap
-    # window DMA starts are aligned down to 128 lanes so Mosaic can prove
-    # the lane-dimension slice divisible by its tiling; the true window
-    # begins at a per-window offset < 128 inside the padded buffer
-    wpad = wcap + 128
 
-    def kernel(desc_ref, params_ref, q_ref, rec_ref,
-               counts_ref, nbrs_ref, win, outc, sems):
-        row = pl.program_id(0) % 8  # descriptor blocks cover 8 tiles
+    def body(desc_ref, row, params_ref, qt_ref, rec_ref,
+             counts_ref, nbrs_ref, win, outc, sems):
         gx = params_ref[0, 0]
         gy = params_ref[0, 1]
         gz = params_ref[0, 2]
@@ -120,112 +128,166 @@ def make_pairs_call(tile: int, wcap: int, pre_cap: int, nbr_cap: int,
         n_real = params_ref[0, 8]
         w_stencil = params_ref[0, 9]
 
-        # 1. start all window DMAs (128-aligned starts), then wait for all
-        def aligned(w):
-            return pl.multiple_of((desc_ref[row, w] // 128) * 128, 128)
+        is_fat = desc_ref[row, FAT_COL] != 0
+        run = is_fat if fat_tier else jnp.logical_not(is_fat)
 
-        for w in range(n_win):
-            pltpu.make_async_copy(
-                rec_ref.at[:, pl.ds(aligned(w), wpad)],
-                win.at[w], sems.at[w]).start()
-        for w in range(n_win):
-            pltpu.make_async_copy(
-                rec_ref.at[:, pl.ds(aligned(w), wpad)],
-                win.at[w], sems.at[w]).wait()
+        @pl.when(run)
+        def _():
+            for w in range(n_win):
+                pltpu.make_async_copy(
+                    rec_ref.at[pl.ds(desc_ref[row, w], wpad)],
+                    win.at[w], sems.at[w]).start()
 
-        # 2. query fields (tile, 1)
-        qx = q_ref[:, F_X:F_X + 1]
-        qy = q_ref[:, F_Y:F_Y + 1]
-        qz = q_ref[:, F_Z:F_Z + 1]
-        q_orig = q_ref[:, F_ORIG:F_ORIG + 1]
-        my_r2 = q_ref[:, F_R:F_R + 1] ** 2
+            qx = qt_ref[F_X:F_X + 1, :]
+            qy = qt_ref[F_Y:F_Y + 1, :]
+            qz = qt_ref[F_Z:F_Z + 1, :]
+            q_orig = qt_ref[F_ORIG:F_ORIG + 1, :]
+            my_r2 = qt_ref[F_R:F_R + 1, :] ** 2
 
-        def cellof(v, g, k):
-            return jnp.clip(jnp.floor((v - g) * inv_cell), 0.0, k - 1.0)
+            def cellof(v, g, k):
+                return jnp.clip(jnp.floor((v - g) * inv_cell), 0.0, k - 1.0)
 
-        q_i = cellof(qx, gx, kx)
-        q_j = cellof(qy, gy, ky)
-        q_k = cellof(qz, gz, kz)
-        row_valid = q_orig < n_real
+            q_i = cellof(qx, gx, kx)
+            q_j = cellof(qy, gy, ky)
+            q_k = cellof(qz, gz, kz)
+            row_valid = q_orig < n_real
 
-        lane_w = jax.lax.broadcasted_iota(jnp.int32, (tile, wpad), 1)
-        counts_ref[:, :] = jnp.zeros((tile, 1), jnp.int32)
+            sub_w = jax.lax.broadcasted_iota(jnp.int32, (wpad, TILE), 0)
+            total = jnp.zeros((1, TILE), jnp.int32)
 
-        # 3. per-window mask + pre-compaction into outc scratch
-        for w in range(n_win):
-            di, dj = offs_2d[w % n_ranges]
-            ln = desc_ref[row, LENS_OFF + w]
-            off = desc_ref[row, w] - (desc_ref[row, w] // 128) * 128
+            for w in range(n_win):
+                pltpu.make_async_copy(
+                    rec_ref.at[pl.ds(desc_ref[row, w], wpad)],
+                    win.at[w], sems.at[w]).wait()
 
-            outc[:, w * pre_cap:(w + 1) * pre_cap] = \
-                jnp.full((tile, pre_cap), -1, jnp.int32)
+            for w in range(n_win):
+                di, dj = offs_2d[w % n_ranges]
+                ln = desc_ref[row, LENS_OFF + w]
 
-            @pl.when(ln > 0)
-            def _(w=w, di=di, dj=dj, ln=ln, off=off):
-                wx = win[w, F_X:F_X + 1, :]
-                wy = win[w, F_Y:F_Y + 1, :]
-                wz = win[w, F_Z:F_Z + 1, :]
-                wo = win[w, F_ORIG:F_ORIG + 1, :]
+                outc[w * pre_cap:(w + 1) * pre_cap, :] = \
+                    jnp.full((pre_cap, TILE), -1, jnp.int32)
 
-                ddx = wx - qx
-                ddy = wy - qy
-                ddz = wz - qz
-                d2 = (ddx * ddx + ddy * ddy) + ddz * ddz
-                if variable:
-                    crit = d2 <= my_r2
-                    if symmetric:
-                        wr = win[w, F_R:F_R + 1, :]
-                        crit = crit | (d2 <= wr * wr)
-                else:
-                    crit = d2 <= r2_fixed
-                c_i = cellof(wx, gx, kx)
-                c_j = cellof(wy, gy, ky)
-                c_k = cellof(wz, gz, kz)
-                in_stencil = ((c_i == q_i + di) & (c_j == q_j + dj)
-                              & (jnp.abs(c_k - q_k) <= w_stencil))
-                mask = (crit & in_stencil
-                        & (lane_w >= off) & (lane_w < off + ln)
-                        & (wo != q_orig) & (wo < n_real) & row_valid)
-                p = _cumsum_lanes(mask.astype(jnp.int32), wpad)
-                counts_ref[:, :] = counts_ref[:, :] + p[:, wpad - 1:wpad]
-                vals = (wo.astype(jnp.int32)
-                        * jnp.ones((tile, 1), jnp.int32))
-                outc[:, w * pre_cap:(w + 1) * pre_cap] = \
-                    _compact_lanes(mask, vals, pre_cap, p=p)
+                @pl.when(ln > 0)
+                def _(w=w, di=di, dj=dj, ln=ln):
+                    wx = win[w, :, F_X:F_X + 1]
+                    wy = win[w, :, F_Y:F_Y + 1]
+                    wz = win[w, :, F_Z:F_Z + 1]
+                    wo = win[w, :, F_ORIG:F_ORIG + 1]
 
-        # 4. merge stage over the concatenated pre-compacted slots
-        merged = outc[:, :]
-        nbrs_ref[:, :] = _compact_lanes(merged >= 0, merged, nbr_cap)
+                    ddx = wx - qx
+                    ddy = wy - qy
+                    ddz = wz - qz
+                    d2 = (ddx * ddx + ddy * ddy) + ddz * ddz
+                    if variable:
+                        crit = d2 <= my_r2
+                        if symmetric:
+                            wr = win[w, :, F_R:F_R + 1]
+                            crit = crit | (d2 <= wr * wr)
+                    else:
+                        crit = d2 <= r2_fixed
+                    c_i = cellof(wx, gx, kx)
+                    c_j = cellof(wy, gy, ky)
+                    c_k = cellof(wz, gz, kz)
+                    in_stencil = ((c_i == q_i + di) & (c_j == q_j + dj)
+                                  & (jnp.abs(c_k - q_k) <= w_stencil))
+                    mask = (crit & in_stencil & (sub_w < ln)
+                            & (wo != q_orig) & (wo < n_real) & row_valid)
+                    wsum = jnp.sum(mask.astype(jnp.int32), axis=0,
+                                   keepdims=True)
+                    counts_ref[0:1, :] = counts_ref[0:1, :] + wsum
+                    # row 1 tracks the max per-window survivor count so the
+                    # host can detect pre_cap truncation and regrow
+                    counts_ref[1:2, :] = jnp.maximum(counts_ref[1:2, :],
+                                                     wsum)
+                    vals = (wo.astype(jnp.int32)
+                            * jnp.ones((1, TILE), jnp.int32))
+                    outc[w * pre_cap:(w + 1) * pre_cap, :] = \
+                        _compact_sub(mask, vals, pre_cap)
 
-    def call(n_tiles, desc, params, q_pad, rec_t):
-        return pl.pallas_call(
-            kernel,
-            grid=(n_tiles,),
+            merged = outc[:, :]
+            nbrs_ref[:, :] = _compact_sub(merged >= 0, merged, nbr_cap)
+
+    if fat_tier:
+        def kernel(ids_ref, desc_ref, params_ref, qt_ref, rec_ref,
+                   counts_ref, nbrs_ref, win, outc, sems):
+            row = ids_ref[pl.program_id(0)] % 8
+            counts_ref[:, :] = jnp.zeros((8, TILE), jnp.int32)
+            nbrs_ref[:, :] = jnp.full((nbr_cap, TILE), -1, jnp.int32)
+            body(desc_ref, row, params_ref, qt_ref, rec_ref,
+                 counts_ref, nbrs_ref, win, outc, sems)
+    else:
+        def kernel(desc_ref, params_ref, qt_ref, rec_ref,
+                   counts_ref, nbrs_ref, win, outc, sems):
+            row = pl.program_id(0) % 8
+            counts_ref[:, :] = jnp.zeros((8, TILE), jnp.int32)
+            nbrs_ref[:, :] = jnp.full((nbr_cap, TILE), -1, jnp.int32)
+            body(desc_ref, row, params_ref, qt_ref, rec_ref,
+                 counts_ref, nbrs_ref, win, outc, sems)
+
+    scratch = [
+        pltpu.VMEM((n_win, wpad, 128), jnp.float32),
+        pltpu.VMEM((m2, TILE), jnp.int32),
+        pltpu.SemaphoreType.DMA((n_win,)),
+    ]
+
+    def call(n_grid, desc, params, q_t, rec, ids=None):
+        out_shape = [
+            # counts ride in row 0 of an 8-row block (Mosaic block tiling)
+            jax.ShapeDtypeStruct((n_grid * 8, TILE), jnp.int32),
+            jax.ShapeDtypeStruct((n_grid * nbr_cap, TILE), jnp.int32),
+        ]
+        if fat_tier:
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_grid,),
+                in_specs=[
+                    pl.BlockSpec((8, DESC_W),
+                                 lambda t, ids: (ids[t] // 8, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((8, DESC_W), lambda t, ids: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec((N_FIELDS, TILE),
+                                 lambda t, ids: (0, ids[t]),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pl.ANY),
+                ],
+                out_specs=[
+                    pl.BlockSpec((8, TILE), lambda t, ids: (t, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((nbr_cap, TILE), lambda t, ids: (t, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                scratch_shapes=scratch,
+            )
+            return pl.pallas_call(
+                kernel, grid_spec=grid_spec, out_shape=out_shape,
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret)(ids, desc, params, q_t, rec)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_grid,),
             in_specs=[
                 pl.BlockSpec((8, DESC_W), lambda t: (t // 8, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((8, DESC_W), lambda t: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((tile, N_FIELDS), lambda t: (t, 0),
+                pl.BlockSpec((N_FIELDS, TILE), lambda t: (0, t),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((tile, 1), lambda t: (t, 0),
+                pl.BlockSpec((8, TILE), lambda t: (t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((tile, nbr_cap), lambda t: (t, 0),
+                pl.BlockSpec((nbr_cap, TILE), lambda t: (t, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_shape=[
-                jax.ShapeDtypeStruct((n_tiles * tile, 1), jnp.int32),
-                jax.ShapeDtypeStruct((n_tiles * tile, nbr_cap), jnp.int32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((n_win, N_FIELDS, wpad), jnp.float32),
-                pltpu.VMEM((tile, m2), jnp.int32),
-                pltpu.SemaphoreType.DMA((n_win,)),
-            ],
-            interpret=interpret,
-        )(desc, params, q_pad, rec_t)
+            scratch_shapes=scratch,
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret)(desc, params, q_t, rec)
 
     return call
