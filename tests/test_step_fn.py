@@ -1,0 +1,66 @@
+"""make_step_fn: the zero-host-sync embedding used by simulation loops
+(and by bench.py / __graft_entry__)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from treensearch_tpu import TreeNSearch
+from treensearch_tpu.oracle import BruteforceNSearch
+
+
+def test_step_fn_in_scan_matches_run():
+    rng = np.random.default_rng(0)
+    n = 1500
+    pts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    eng = TreeNSearch()
+    eng.add_point_set(pts)
+    eng.set_search_radius(0.09)
+    eng.set_all_searches(True)
+    eng.run()  # settle caps
+    want_counts = np.asarray(eng.get_neighbors(0, 0)[0])
+
+    step, state0 = eng.make_step_fn()
+
+    @jax.jit
+    def sim(points, state):
+        def body(carry, _):
+            points, state = carry
+            sol, state = step(state, points)
+            return (points, state), sol["pairs"]["0-0"]["counts"]
+        (_, state), counts_hist = jax.lax.scan(
+            body, (points, state), None, length=3)
+        return counts_hist
+
+    hist = np.asarray(sim(jnp.asarray(pts), state0))
+    assert hist.shape == (3, n)
+    for k in range(3):
+        assert np.array_equal(hist[k], want_counts)
+
+
+def test_step_fn_overflow_flags_visible():
+    rng = np.random.default_rng(1)
+    pts = rng.uniform(0, 1, (300, 3)).astype(np.float32)
+    eng = TreeNSearch()
+    eng.add_point_set(pts)
+    eng.set_search_radius(0.9)         # nearly all points are neighbors
+    eng.set_all_searches(True)
+    eng.set_neighbor_cap(16)           # deliberately too small
+    step, state0 = eng.make_step_fn()
+    sol, _ = step(state0, jnp.asarray(pts))
+    assert int(sol["pairs"]["0-0"]["max_count"]) > 16  # caller can detect
+
+
+def test_print_state_smoke(capsys):
+    rng = np.random.default_rng(2)
+    eng = TreeNSearch()
+    eng.add_point_set(rng.uniform(0, 1, (200, 3)).astype(np.float32),
+                      rng.uniform(0.05, 0.2, 200).astype(np.float32))
+    eng.add_point_set(rng.uniform(0, 1, (50, 3)).astype(np.float32),
+                      rng.uniform(0.05, 0.2, 50).astype(np.float32))
+    eng.set_all_searches(True)
+    eng.run()
+    eng.print_state()
+    out = capsys.readouterr().out
+    assert "world box" in out and "pair (0->0)" in out
+    assert "radius min/avg/max" in out and "neighborlist bytes" in out
