@@ -270,6 +270,7 @@ class TreeNSearch:
     def _execute(self, points, radii, sr, cell, w, chunk, fast):
         """Run one search with overflow-regrow; returns the clean solution."""
         use_fast = fast
+        use_pallas_now = self._use_pallas
         if self._dense_cap is None:
             self._dense_cap = self._default_dense_cap()
         for _ in range(_MAX_GROW_ROUNDS):
@@ -278,7 +279,7 @@ class TreeNSearch:
                 knobs = FastKnobs(tile=self._tile, group=self._group,
                                   wcap=self._wcap,
                                   dense_cap=self._dense_cap,
-                                  use_pallas=self._use_pallas,
+                                  use_pallas=use_pallas_now,
                                   interpret=self._pallas_interpret,
                                   fat_wcap=self._fat_wcap,
                                   fat_cap=self._fat_cap,
@@ -303,10 +304,14 @@ class TreeNSearch:
                     use_fast = False  # domain too sparse for a dense table
                 continue
             if use_fast and int(sol["straddle"]) != 0:
-                # a tile spans >= 3 grid rows: shrink tiles until they fit
-                # within two rows; for extremely sparse rows fall back to
-                # the search-based reference path
-                if self._tile > 8:
+                # a tile spans >= 3 grid rows. The pallas kernel's tile is
+                # fixed at 128, so straddle there means the dataset's rows
+                # are too short for it -> use the XLA tile loop, which can
+                # shrink its tiles; for extremely sparse rows fall back to
+                # the search-based reference path.
+                if use_pallas_now:
+                    use_pallas_now = False
+                elif self._tile > 8:
                     self._tile //= 2
                 else:
                     use_fast = False

@@ -205,9 +205,8 @@ def build_and_search_fast(points: jnp.ndarray,
     n_groups = -(-n_tiles // group)
     k_sel = cfg.nbr_cap
 
-    pallas_ok = (knobs.use_pallas and cfg.n_sets == 1
-                 and cfg.active_pairs == ((0, 0),) and n < (1 << 24)
-                 and w <= 2)
+    pallas_ok = (knobs.use_pallas and 1 <= len(cfg.active_pairs) <= 4
+                 and n < (1 << 24) and w <= 2)
     if pallas_ok:
         from .pallas_pairs import (DESC_W, FAT_COL, LENS_OFF, N_FIELDS,
                                    TILE as PTILE, make_pairs_call)
@@ -269,39 +268,50 @@ def build_and_search_fast(points: jnp.ndarray,
         pre_cap = min(knobs.pre_cap, k8)
         narrow = make_pairs_call(wcap, pre_cap, k8, offs_2d,
                                  cfg.variable, cfg.symmetric,
+                                 active_pairs=cfg.active_pairs,
+                                 set_offsets=cfg.set_offsets,
                                  fat_tier=False, interpret=knobs.interpret)
-        cnt_n, nbr_n = narrow(p_tiles, desc, params, q_t, rec_pad)
+        outs_n = narrow(p_tiles, desc, params, q_t, rec_pad)
         fat = make_pairs_call(fat_wcap, pre_cap, k8, offs_2d,
                               cfg.variable, cfg.symmetric,
+                              active_pairs=cfg.active_pairs,
+                              set_offsets=cfg.set_offsets,
                               fat_tier=True, interpret=knobs.interpret)
-        cnt_f, nbr_f = fat(fat_cap, desc, params, q_t, rec_pad, ids=fat_ids)
+        outs_f = fat(fat_cap, desc, params, q_t, rec_pad, ids=fat_ids)
 
-        # merge tiers: scatter fat rows over the narrow results (padded
-        # fat ids target the dummy tile row p_tiles)
-        counts_all = jnp.concatenate(
-            [cnt_n[0::8], jnp.zeros((1, PTILE), jnp.int32)], axis=0)
-        counts_all = counts_all.at[fat_ids].set(cnt_f[0::8], mode="drop")
-        nbrs_all = jnp.concatenate(
-            [nbr_n.reshape(p_tiles, k8, PTILE),
-             jnp.zeros((1, k8, PTILE), jnp.int32)], axis=0)
-        nbrs_all = nbrs_all.at[fat_ids].set(
-            nbr_f.reshape(fat_cap, k8, PTILE), mode="drop")
-
-        counts_flat = counts_all[:p_tiles].reshape(-1)
-        nbrs_flat = jnp.transpose(nbrs_all[:p_tiles],
-                                  (0, 2, 1)).reshape(-1, k8)[:, :k_sel]
         mapped = {
             "cand_total": jnp.where(fat_overflow, win_max, 0)[None],
             "straddle": straddle[None],
-            _pair_name(0, 0): {"counts": counts_flat, "nbrs": nbrs_flat},
         }
+        pre_surv = jnp.zeros((), jnp.int32)
+        for p, (si, sj) in enumerate(cfg.active_pairs):
+            cnt_n, nbr_n = outs_n[2 * p], outs_n[2 * p + 1]
+            cnt_f, nbr_f = outs_f[2 * p], outs_f[2 * p + 1]
+            # merge tiers: scatter fat rows over the narrow results
+            # (padded fat ids target the dummy tile row p_tiles)
+            counts_all = jnp.concatenate(
+                [cnt_n[0::8], jnp.zeros((1, PTILE), jnp.int32)], axis=0)
+            counts_all = counts_all.at[fat_ids].set(cnt_f[0::8],
+                                                    mode="drop")
+            nbrs_all = jnp.concatenate(
+                [nbr_n.reshape(p_tiles, k8, PTILE),
+                 jnp.zeros((1, k8, PTILE), jnp.int32)], axis=0)
+            nbrs_all = nbrs_all.at[fat_ids].set(
+                nbr_f.reshape(fat_cap, k8, PTILE), mode="drop")
+            mapped[_pair_name(si, sj)] = {
+                "counts": counts_all[:p_tiles].reshape(-1),
+                "nbrs": jnp.transpose(nbrs_all[:p_tiles],
+                                      (0, 2, 1)).reshape(-1, k8)[:, :k_sel],
+            }
+            pre_surv = jnp.maximum(
+                pre_surv, jnp.maximum(jnp.max(cnt_n[1::8]),
+                                      jnp.max(cnt_f[1::8])))
         sol = _finalize(mapped, idx_s, n, state, cfg, k_sel,
                         dense_overflow, lin_s)
         sol["pallas_used"] = jnp.ones((), jnp.int32)
         # max survivors in any single window (row 1 of the counts blocks):
         # > pre_cap means per-window pre-compaction truncated -> regrow
-        sol["pre_surv_max"] = jnp.maximum(jnp.max(cnt_n[1::8]),
-                                          jnp.max(cnt_f[1::8]))
+        sol["pre_surv_max"] = pre_surv
         return sol, state
 
     def tile_body(t):

@@ -39,9 +39,11 @@ Field columns in the packed record array (float32): x, y, z, radius,
 original index, set id. Indices ride as exact f32 (requires N < 2**24;
 the host falls back to the XLA path beyond that).
 
-Current scope: one point set with self-search (the headline benchmark
-configuration, fixed or variable radius); multi-set/multi-pair runs use
-the XLA fast path.
+Multi-set: the window geometry mask is computed once per window; each
+active (set_i, set_j) pair then applies its set conditions and runs its
+own count/compaction into per-pair outputs (set_j-local indices via the
+static set offsets). Gated to <= 4 active pairs (VMEM scratch); larger
+matrices use the XLA fast path.
 """
 
 from __future__ import annotations
@@ -99,24 +101,30 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
 
 
 def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
-                    variable: bool, symmetric: bool, fat_tier: bool = False,
-                    interpret: bool = False):
+                    variable: bool, symmetric: bool,
+                    active_pairs=((0, 0),), set_offsets=(0,),
+                    fat_tier: bool = False, interpret: bool = False):
     """Build a pallas_call for one tier.
 
     Narrow tier (``fat_tier=False``): grid over all tiles; tiles whose
     descriptor FAT_COL is set are skipped (outputs zeroed).
     Fat tier (``fat_tier=True``): grid over a scalar-prefetched tile-id
     list; every listed tile is processed with this (larger) wcap.
+
+    Outputs: per active pair, a counts array and a padded-CSR block.
     """
     n_ranges = len(offs_2d)
     n_win = 2 * n_ranges
+    n_pairs = len(active_pairs)
+    multi_set = len(set_offsets) > 1
     assert n_win <= LENS_OFF, "pallas kernel supports stencil_w <= 2"
     assert nbr_cap % 8 == 0, "pallas nbr_cap must be a multiple of 8"
+    assert n_pairs <= 4, "pallas kernel supports <= 4 active pairs"
     wpad = wcap  # exact unaligned row-range DMA: no slack needed
     m2 = n_win * pre_cap
 
-    def body(desc_ref, row, params_ref, qt_ref, rec_ref,
-             counts_ref, nbrs_ref, win, outc, sems):
+    def body(desc_ref, row, params_ref, qt_ref, rec_ref, out_refs,
+             win, outc, sems):
         gx = params_ref[0, 0]
         gy = params_ref[0, 1]
         gz = params_ref[0, 2]
@@ -142,6 +150,7 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
             qy = qt_ref[F_Y:F_Y + 1, :]
             qz = qt_ref[F_Z:F_Z + 1, :]
             q_orig = qt_ref[F_ORIG:F_ORIG + 1, :]
+            q_set = qt_ref[F_SET:F_SET + 1, :]
             my_r2 = qt_ref[F_R:F_R + 1, :] ** 2
 
             def cellof(v, g, k):
@@ -153,7 +162,6 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
             row_valid = q_orig < n_real
 
             sub_w = jax.lax.broadcasted_iota(jnp.int32, (wpad, TILE), 0)
-            total = jnp.zeros((1, TILE), jnp.int32)
 
             for w in range(n_win):
                 pltpu.make_async_copy(
@@ -164,8 +172,10 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
                 di, dj = offs_2d[w % n_ranges]
                 ln = desc_ref[row, LENS_OFF + w]
 
-                outc[w * pre_cap:(w + 1) * pre_cap, :] = \
-                    jnp.full((pre_cap, TILE), -1, jnp.int32)
+                for p in range(n_pairs):
+                    outc[p * m2 + w * pre_cap:
+                         p * m2 + (w + 1) * pre_cap, :] = \
+                        jnp.full((pre_cap, TILE), -1, jnp.int32)
 
                 @pl.when(ln > 0)
                 def _(w=w, di=di, dj=dj, ln=ln):
@@ -190,43 +200,60 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
                     c_k = cellof(wz, gz, kz)
                     in_stencil = ((c_i == q_i + di) & (c_j == q_j + dj)
                                   & (jnp.abs(c_k - q_k) <= w_stencil))
-                    mask = (crit & in_stencil & (sub_w < ln)
-                            & (wo != q_orig) & (wo < n_real) & row_valid)
-                    wsum = jnp.sum(mask.astype(jnp.int32), axis=0,
-                                   keepdims=True)
-                    counts_ref[0:1, :] = counts_ref[0:1, :] + wsum
-                    # row 1 tracks the max per-window survivor count so the
-                    # host can detect pre_cap truncation and regrow
-                    counts_ref[1:2, :] = jnp.maximum(counts_ref[1:2, :],
-                                                     wsum)
-                    vals = (wo.astype(jnp.int32)
-                            * jnp.ones((1, TILE), jnp.int32))
-                    outc[w * pre_cap:(w + 1) * pre_cap, :] = \
-                        _compact_sub(mask, vals, pre_cap)
+                    mask_geo = (crit & in_stencil & (sub_w < ln)
+                                & (wo != q_orig) & (wo < n_real)
+                                & row_valid)
+                    if multi_set:
+                        ws = win[w, :, F_SET:F_SET + 1]
+                    for p, (si, sj) in enumerate(active_pairs):
+                        pm = mask_geo
+                        if multi_set:
+                            pm = pm & (q_set == si) & (ws == sj)
+                        wsum = jnp.sum(pm.astype(jnp.int32), axis=0,
+                                       keepdims=True)
+                        cref = out_refs[2 * p]
+                        cref[0:1, :] = cref[0:1, :] + wsum
+                        # row 1: max per-window survivors (pre_cap regrow)
+                        cref[1:2, :] = jnp.maximum(cref[1:2, :], wsum)
+                        vals = ((wo.astype(jnp.int32)
+                                 - set_offsets[sj])
+                                * jnp.ones((1, TILE), jnp.int32))
+                        outc[p * m2 + w * pre_cap:
+                             p * m2 + (w + 1) * pre_cap, :] = \
+                            _compact_sub(pm, vals, pre_cap)
 
-            merged = outc[:, :]
-            nbrs_ref[:, :] = _compact_sub(merged >= 0, merged, nbr_cap)
+            for p in range(n_pairs):
+                merged = outc[p * m2:(p + 1) * m2, :]
+                out_refs[2 * p + 1][:, :] = _compact_sub(
+                    merged >= 0, merged, nbr_cap)
+
+    def _init_outs(out_refs):
+        for p in range(n_pairs):
+            out_refs[2 * p][:, :] = jnp.zeros((8, TILE), jnp.int32)
+            out_refs[2 * p + 1][:, :] = jnp.full((nbr_cap, TILE), -1,
+                                                 jnp.int32)
 
     if fat_tier:
         def kernel(ids_ref, desc_ref, params_ref, qt_ref, rec_ref,
-                   counts_ref, nbrs_ref, win, outc, sems):
+                   *rest):
+            out_refs = rest[:2 * n_pairs]
+            win, outc, sems = rest[2 * n_pairs:]
             row = ids_ref[pl.program_id(0)] % 8
-            counts_ref[:, :] = jnp.zeros((8, TILE), jnp.int32)
-            nbrs_ref[:, :] = jnp.full((nbr_cap, TILE), -1, jnp.int32)
-            body(desc_ref, row, params_ref, qt_ref, rec_ref,
-                 counts_ref, nbrs_ref, win, outc, sems)
+            _init_outs(out_refs)
+            body(desc_ref, row, params_ref, qt_ref, rec_ref, out_refs,
+                 win, outc, sems)
     else:
-        def kernel(desc_ref, params_ref, qt_ref, rec_ref,
-                   counts_ref, nbrs_ref, win, outc, sems):
+        def kernel(desc_ref, params_ref, qt_ref, rec_ref, *rest):
+            out_refs = rest[:2 * n_pairs]
+            win, outc, sems = rest[2 * n_pairs:]
             row = pl.program_id(0) % 8
-            counts_ref[:, :] = jnp.zeros((8, TILE), jnp.int32)
-            nbrs_ref[:, :] = jnp.full((nbr_cap, TILE), -1, jnp.int32)
-            body(desc_ref, row, params_ref, qt_ref, rec_ref,
-                 counts_ref, nbrs_ref, win, outc, sems)
+            _init_outs(out_refs)
+            body(desc_ref, row, params_ref, qt_ref, rec_ref, out_refs,
+                 win, outc, sems)
 
     scratch = [
         pltpu.VMEM((n_win, wpad, 128), jnp.float32),
-        pltpu.VMEM((m2, TILE), jnp.int32),
+        pltpu.VMEM((n_pairs * m2, TILE), jnp.int32),
         pltpu.SemaphoreType.DMA((n_win,)),
     ]
 
@@ -235,7 +262,7 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
             # counts ride in row 0 of an 8-row block (Mosaic block tiling)
             jax.ShapeDtypeStruct((n_grid * 8, TILE), jnp.int32),
             jax.ShapeDtypeStruct((n_grid * nbr_cap, TILE), jnp.int32),
-        ]
+        ] * n_pairs
         if fat_tier:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -256,7 +283,7 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((nbr_cap, TILE), lambda t, ids: (t, 0),
                                  memory_space=pltpu.VMEM),
-                ],
+                ] * n_pairs,
                 scratch_shapes=scratch,
             )
             return pl.pallas_call(
@@ -281,7 +308,7 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nbr_cap, TILE), lambda t: (t, 0),
                              memory_space=pltpu.VMEM),
-            ],
+            ] * n_pairs,
             scratch_shapes=scratch,
         )
         return pl.pallas_call(
