@@ -49,7 +49,7 @@ _DEFAULT_CAND_CAP = 512
 _DEFAULT_CHUNK = 1024
 _DEFAULT_CHUNK_SCALAR = 128
 _MAX_GROW_ROUNDS = 16
-_DEFAULT_WCAP = 320  # best measured two-tier split at 1M (benchmarks/)
+_DEFAULT_WCAP = 288  # best measured two-tier split at 1M (benchmarks/)
 _MAX_DENSE_CAP = 1 << 26  # 256 MB table; beyond this fall back to searches
 
 
@@ -501,6 +501,24 @@ class TreeNSearch:
                     print(f"  pair ({i}->{j}): neighbors min/avg/max = "
                           f"{c.min()}/{c.mean():.2f}/{c.max()}")
             print(f"  neighborlist bytes: {self.get_neighborlist_n_bytes()}")
+
+    def profile_run(self, trace_dir: str, n_steps: int = 3) -> str:
+        """Capture a ``jax.profiler`` trace of steady-state search steps
+        (the TPU-native answer to SURVEY.md §5's tracing gap; the
+        reference has no built-in profiler and times with omp_get_wtime).
+        View with TensorBoard or Perfetto. Returns the trace directory."""
+        self._check()
+        if self._solution is None:
+            self.run()  # settle caps outside the trace
+        points, radii = self._assemble()
+        step, state = self.make_step_fn()
+        sol, state = step(state, points, radii)  # warm/compile untraced
+        jax.block_until_ready(sol)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(n_steps):
+                sol, state = step(state, points, radii)
+            jax.block_until_ready(sol)
+        return trace_dir
 
     # ------------------------------------------------------ jit-embedding
     def make_step_fn(self, chunk: Optional[int] = None, fast: bool = True):
