@@ -1,10 +1,12 @@
 """Pallas pair-kernel logic tests (interpreter mode on CPU).
 
 The real-TPU compile/perf of the kernel is exercised by bench.py; these
-tests validate kernel LOGIC: in-VMEM cumsum/compaction primitives and
-exact neighbor parity for all points covered by the two-subwindow scheme
-(straddled points are flagged and handled by the host API fallback, see
-ops/fastpath.py).
+tests validate kernel LOGIC hermetically: the in-VMEM cumsum/compaction
+primitives, FULL-point oracle parity of the cell-run-tile kernel (v3 has
+no straddle fallback — every point is covered by construction), the
+multi-set/multi-pair emission, and the fat tier (reference analogs: the
+multi-set suites ``tests/tests.cpp:114-145`` and the recursion-cap sweeps
+``tests/tests.cpp:69-86``).
 """
 
 import jax
@@ -15,10 +17,9 @@ from jax.experimental import pallas as pl
 
 from treensearch_tpu.config import SearchConfig
 from treensearch_tpu.ops.fastpath import FastKnobs, build_and_search_fast_jit
-from treensearch_tpu.ops.grid import fresh_state, update_grid
+from treensearch_tpu.ops.grid import fresh_state
 from treensearch_tpu.ops.pallas_pairs import _compact_sub, _cumsum_sub
 from treensearch_tpu.oracle import BruteforceNSearch
-from treensearch_tpu.utils import keys as K
 
 
 def test_kernel_cumsum_and_compact_primitives():
@@ -47,47 +48,41 @@ def test_kernel_cumsum_and_compact_primitives():
         assert np.array_equal(out[:, c], want)
 
 
-def _covered_mask(pts_np, cell, tile):
-    """Which points the two-subwindow scheme covers at this tile size."""
-    n = pts_np.shape[0]
-    pts = jnp.asarray(pts_np)
-    st = update_grid(fresh_state(), pts, jnp.float32(cell))
-    ijk = np.asarray(K.quantize(pts, st.grid_min, 1.0 / st.cell_size,
-                                st.n_cells))
-    dy = int(st.n_cells[1]) + 2
-    dz = int(st.n_cells[2]) + 2
-    lin = ((ijk[:, 0] + 1) * dy + (ijk[:, 1] + 1)) * dz + (ijk[:, 2] + 1)
-    order = np.argsort(lin, kind="stable")
-    ijk_s = ijk[order]
-    covered = np.zeros(n, bool)
-    for t in range(-(-n // tile)):
-        p0 = min(t * tile, n - 1)
-        p1 = min(t * tile + tile - 1, n - 1)
-        for p in range(t * tile, min((t + 1) * tile, n)):
-            covered[order[p]] = (
-                tuple(ijk_s[p][:2]) == tuple(ijk_s[p0][:2])
-                or tuple(ijk_s[p][:2]) == tuple(ijk_s[p1][:2]))
-    return covered
+def _run_fast(pts_np, rad_np, r, cell, cfg, knobs):
+    sol, _ = build_and_search_fast_jit(
+        jnp.asarray(pts_np),
+        jnp.asarray(rad_np) if rad_np is not None else None,
+        jnp.float32(0.0 if rad_np is not None else r), jnp.float32(cell),
+        fresh_state(), cfg, knobs)
+    assert int(sol["pallas_used"]) == 1
+    assert int(sol["straddle"]) == 0
+    assert int(sol["tile_overflow"]) == 0
+    return sol
+
+
+def _assert_pair_parity(sol, orc, si, sj, n_i):
+    cnt = np.asarray(sol["pairs"][f"{si}-{sj}"]["counts"])
+    nb = np.asarray(sol["pairs"][f"{si}-{sj}"]["nbrs"])
+    for i in range(n_i):
+        got = np.sort(nb[i][: cnt[i]])
+        assert np.array_equal(got, orc.neighbors[(si, sj)][i]), (si, sj, i)
 
 
 @pytest.mark.parametrize("variable", [False, True])
 def test_pallas_kernel_oracle_parity(variable):
+    """FULL-point exact parity (v3 cell-run tiles cover every point)."""
     rng = np.random.default_rng(3)
-    n, r, tile = 2000, 0.08, 128  # the pallas kernel tiles by 128
+    n, r = 1200, 0.09
     pts_np = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     rad_np = rng.uniform(0.8 * r, 1.2 * r, n).astype(np.float32) \
         if variable else None
     cell = 1.5 * (rad_np.min() if variable else r)
-    cfg = SearchConfig((n,), ((0, 0),), variable, variable, 1,
+    w = 2 if variable else 1
+    cfg = SearchConfig((n,), ((0, 0),), variable, variable, w,
                        1024, 512, 96)
-    knobs = FastKnobs(tile=tile, group=8, wcap=256, dense_cap=1 << 16,
-                      use_pallas=True, pre_cap=96, interpret=True)
-    sol, _ = build_and_search_fast_jit(
-        jnp.asarray(pts_np),
-        jnp.asarray(rad_np) if variable else None,
-        jnp.float32(0.0 if variable else r), jnp.float32(cell),
-        fresh_state(), cfg, knobs)
-    assert int(sol["cand_max"]) <= 256
+    knobs = FastKnobs(wcap=256, dense_cap=1 << 14, use_pallas=True,
+                      pre_cap=96, interpret=True)
+    sol = _run_fast(pts_np, rad_np, r, cell, cfg, knobs)
     assert int(sol["pairs"]["0-0"]["max_count"]) <= 96
 
     orc = BruteforceNSearch(search_radius=None if variable else r,
@@ -95,18 +90,68 @@ def test_pallas_kernel_oracle_parity(variable):
     orc.add_point_set(pts_np, rad_np)
     orc.set_all_searches(True)
     orc.run()
-    covered = _covered_mask(pts_np, cell, tile)
-    cnt = np.asarray(sol["pairs"]["0-0"]["counts"])
-    nb = np.asarray(sol["pairs"]["0-0"]["nbrs"])
-    n_checked = 0
-    for i in range(n):
-        if not covered[i]:
-            continue
-        got = np.sort(nb[i][: cnt[i]])
-        assert np.array_equal(got, orc.neighbors[(0, 0)][i]), i
-        n_checked += 1
-    # coverage is data/grid dependent (this fixture is coarse relative to
-    # the 128-point tiles); the exact-parity loop above is the real check
-    assert n_checked > 0.15 * n
-    # and the flag must be truthful: uncovered points exist => straddle set
-    assert int(sol["straddle"]) == int((~covered).any())
+    _assert_pair_parity(sol, orc, 0, 0, n)
+
+
+def test_pallas_multi_pair_asymmetric_matrix():
+    """Two sets, asymmetric 3-pair active matrix (1->1 off) through the
+    kernel's per-pair emission (reference tests.cpp:114-145)."""
+    rng = np.random.default_rng(7)
+    n0, n1, r = 700, 500, 0.1
+    p0 = rng.uniform(0, 1, (n0, 3)).astype(np.float32)
+    p1 = rng.uniform(0, 1, (n1, 3)).astype(np.float32)
+    pairs = ((0, 0), (0, 1), (1, 0))
+    cfg = SearchConfig((n0, n1), pairs, False, False, 1, 1024, 512, 96)
+    knobs = FastKnobs(wcap=256, dense_cap=1 << 14, use_pallas=True,
+                      pre_cap=96, interpret=True)
+    pts = np.concatenate([p0, p1])
+    sol = _run_fast(pts, None, r, 1.5 * r, cfg, knobs)
+
+    orc = BruteforceNSearch(search_radius=r)
+    orc.add_point_set(p0)
+    orc.add_point_set(p1)
+    for (si, sj) in pairs:
+        orc.set_active_search(si, sj, True)
+    orc.run()
+    for (si, sj) in pairs:
+        _assert_pair_parity(sol, orc, si, sj, (n0, n1)[si])
+
+
+def test_pallas_fat_tier_exact():
+    """A dense cluster inside a sparse cloud forces fat-tier tiles
+    (windows wider than the narrow wcap); parity must stay exact."""
+    rng = np.random.default_rng(11)
+    r = 0.08
+    cluster = (0.5 + 0.004 * rng.standard_normal((400, 3))).astype(
+        np.float32)
+    sparse = rng.uniform(0, 1, (600, 3)).astype(np.float32)
+    pts = np.concatenate([cluster, sparse])
+    n = pts.shape[0]
+    cfg = SearchConfig((n,), ((0, 0),), False, False, 1, 1024, 512, 512)
+    # wcap deliberately below the cluster's window width -> fat tier
+    knobs = FastKnobs(wcap=64, fat_wcap=1024, fat_cap=512,
+                      dense_cap=1 << 14, use_pallas=True, pre_cap=448,
+                      interpret=True)
+    sol = _run_fast(pts, None, r, 1.5 * r, cfg, knobs)
+    assert int(sol["cand_max"]) == 0  # fat tier absorbed the wide windows
+
+    orc = BruteforceNSearch(search_radius=r)
+    orc.add_point_set(pts)
+    orc.set_all_searches(True)
+    orc.run()
+    _assert_pair_parity(sol, orc, 0, 0, n)
+
+
+def test_pallas_tile_overflow_flag():
+    """tiles_cap below the row-aligned layout's need must raise the
+    tile_overflow flag (host regrows on it)."""
+    rng = np.random.default_rng(13)
+    n, r = 1000, 0.05
+    pts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    cfg = SearchConfig((n,), ((0, 0),), False, False, 1, 1024, 512, 96)
+    knobs = FastKnobs(wcap=256, dense_cap=1 << 14, use_pallas=True,
+                      pre_cap=96, interpret=True, tiles_cap=4)
+    sol, _ = build_and_search_fast_jit(
+        jnp.asarray(pts), None, jnp.float32(r), jnp.float32(1.5 * r),
+        fresh_state(), cfg, knobs)
+    assert int(sol["tile_overflow"]) == 1

@@ -51,6 +51,43 @@ def test_step_fn_overflow_flags_visible():
     assert int(sol["pairs"]["0-0"]["max_count"]) > 16  # caller can detect
 
 
+def test_step_fn_carries_settled_fat_caps():
+    """A step fn built after run() must reproduce run()'s neighbor sets on
+    a dataset that needed the fat tier (VERDICT r1: make_step_fn used to
+    rebuild FastKnobs from defaults, silently dropping the settled
+    fat_wcap/fat_cap/pre_cap)."""
+    rng = np.random.default_rng(3)
+    # dense cluster + sparse background: cluster tiles overflow the narrow
+    # window cap and need the fat tier
+    cluster = 0.5 + 0.004 * rng.standard_normal((500, 3))
+    sparse = rng.uniform(0, 1, (700, 3))
+    pts = np.concatenate([cluster, sparse]).astype(np.float32)
+    eng = TreeNSearch()
+    eng.add_point_set(pts)
+    eng.set_search_radius(0.06)
+    eng.set_all_searches(True)
+    eng.set_use_pallas(True, interpret=True)
+    # deliberately tiny fat-tier caps so run() must regrow them
+    eng._fat_cap = 8
+    eng._fat_wcap = 64
+    eng._pre_cap = 8
+    eng.run()
+    assert (eng._fat_cap, eng._fat_wcap, eng._pre_cap) != (8, 64, 8) or \
+        eng._wcap >= 512  # the dataset must actually have stressed a cap
+    want_counts = np.asarray(eng.get_neighbors(0, 0)[0])
+    want_sets = [np.sort(np.asarray(eng.get_neighborlist(0, 0, i)))
+                 for i in range(0, pts.shape[0], 97)]
+
+    step, state0 = eng.make_step_fn()
+    sol, _ = step(state0, jnp.asarray(pts))
+    got_counts = np.asarray(sol["pairs"]["0-0"]["counts"])
+    assert np.array_equal(got_counts, want_counts)
+    nbrs = np.asarray(sol["pairs"]["0-0"]["nbrs"])
+    for k, i in enumerate(range(0, pts.shape[0], 97)):
+        got = np.sort(nbrs[i][nbrs[i] >= 0][: got_counts[i]])
+        assert np.array_equal(got, want_sets[k])
+
+
 def test_print_state_smoke(capsys):
     rng = np.random.default_rng(2)
     eng = TreeNSearch()

@@ -38,7 +38,8 @@ import numpy as np
 
 from .config import SearchConfig, round_up
 from .neighborlist import NeighborList, NeighborSolution
-from .ops.fastpath import FastKnobs, build_and_search_fast_jit
+from .ops.fastpath import (FastKnobs, build_and_search_fast_jit,
+                           default_tiles_cap)
 from .ops.grid import GridState, fresh_state
 from .ops.pipeline import build_and_search_jit
 from .ops.zsort import apply_order, zsort_order
@@ -49,7 +50,6 @@ _DEFAULT_CAND_CAP = 512
 _DEFAULT_CHUNK = 1024
 _DEFAULT_CHUNK_SCALAR = 128
 _MAX_GROW_ROUNDS = 16
-_DEFAULT_WCAP = 288  # best measured two-tier split at 1M (benchmarks/)
 _MAX_DENSE_CAP = 1 << 26  # 256 MB table; beyond this fall back to searches
 
 
@@ -95,17 +95,20 @@ class TreeNSearch:
         self._cand_cap = _DEFAULT_CAND_CAP
         self._chunk = _DEFAULT_CHUNK
         self._chunk_scalar = _DEFAULT_CHUNK_SCALAR
-        # fast-path knobs (ops/fastpath.py)
-        self._tile = 128
-        self._group = 8
-        self._wcap = _DEFAULT_WCAP
+        # fast-path knobs, seeded from the FastKnobs defaults (single
+        # source of truth; settled values are carried into make_step_fn)
+        _kd = FastKnobs._field_defaults
+        self._tile = _kd["tile"]
+        self._group = _kd["group"]
+        self._wcap = _kd["wcap"]
         self._dense_cap: Optional[int] = None  # sized from N on first run
         # fused Pallas pair kernel (ops/pallas_pairs.py): on TPU by default
         self._use_pallas = jax.default_backend() not in ("cpu",)
         self._pallas_interpret = False
-        self._fat_wcap = 1024
-        self._fat_cap = 1024
-        self._pre_cap = 48
+        self._fat_wcap = _kd["fat_wcap"]
+        self._fat_cap = _kd["fat_cap"]
+        self._pre_cap = _kd["pre_cap"]
+        self._tiles_cap: Optional[int] = None  # sized from N on first run
         self._grid_state: GridState = fresh_state()
         self._solution: Optional[NeighborSolution] = None
         self._zsort_maps: Optional[List[jnp.ndarray]] = None
@@ -273,6 +276,9 @@ class TreeNSearch:
         use_pallas_now = self._use_pallas
         if self._dense_cap is None:
             self._dense_cap = self._default_dense_cap()
+        if self._tiles_cap is None:
+            self._tiles_cap = default_tiles_cap(
+                max(self.get_total_n_points(), 1))
         for _ in range(_MAX_GROW_ROUNDS):
             cfg = self._make_cfg(chunk, w)
             if use_fast:
@@ -283,7 +289,8 @@ class TreeNSearch:
                                   interpret=self._pallas_interpret,
                                   fat_wcap=self._fat_wcap,
                                   fat_cap=self._fat_cap,
-                                  pre_cap=self._pre_cap)
+                                  pre_cap=self._pre_cap,
+                                  tiles_cap=self._tiles_cap)
                 sol, state = build_and_search_fast_jit(
                     points, radii, jnp.float32(sr), jnp.float32(cell),
                     self._grid_state, cfg, knobs)
@@ -302,6 +309,11 @@ class TreeNSearch:
                     self._dense_cap = min(self._dense_cap * 8, _MAX_DENSE_CAP)
                 else:
                     use_fast = False  # domain too sparse for a dense table
+                continue
+            if use_fast and int(sol.get("tile_overflow", 0)) != 0:
+                # more occupied grid rows than the row-aligned layout's
+                # padded-slot budget; grow and re-trace
+                self._tiles_cap = int(self._tiles_cap * 1.5) + 64
                 continue
             if use_fast and int(sol["straddle"]) != 0:
                 # a tile spans >= 3 grid rows. The pallas kernel's tile is
@@ -538,10 +550,17 @@ class TreeNSearch:
         cfg = self._make_cfg(chunk or self._chunk, self._stencil_w(cell))
         if self._dense_cap is None:
             self._dense_cap = self._default_dense_cap()
+        if self._tiles_cap is None:
+            self._tiles_cap = default_tiles_cap(
+                max(self.get_total_n_points(), 1))
         knobs = FastKnobs(tile=self._tile, group=self._group,
                           wcap=self._wcap, dense_cap=self._dense_cap,
                           use_pallas=self._use_pallas,
-                          interpret=self._pallas_interpret)
+                          interpret=self._pallas_interpret,
+                          fat_wcap=self._fat_wcap,
+                          fat_cap=self._fat_cap,
+                          pre_cap=self._pre_cap,
+                          tiles_cap=self._tiles_cap)
 
         def step(state, points, radii=None):
             if fast:

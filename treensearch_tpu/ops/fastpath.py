@@ -58,16 +58,31 @@ from .pipeline import _empty_solution, _pair_name
 
 
 class FastKnobs(NamedTuple):
-    """Static performance knobs for the fast path."""
+    """Static performance knobs for the fast path.
+
+    Field defaults are the single source of truth: ``TreeNSearch.__init__``
+    seeds its knobs from here so a step fn built without settling caps and
+    the engine's first ``run()`` agree.
+    """
     tile: int = 128        # query points per tile
     group: int = 8         # tiles per lax.map iteration (vmapped)
-    wcap: int = 256        # max points per stencil-row window
+    wcap: int = 288        # max points per stencil-row window (measured 1M)
     dense_cap: int = 1 << 22  # dense cell-table slots
     use_pallas: bool = False   # fused Pallas pair kernel (ops/pallas_pairs)
     pre_cap: int = 48          # per-window pre-compaction width (pallas)
     interpret: bool = False    # pallas interpreter mode (CPU tests)
     fat_wcap: int = 1024       # window cap of the fat tier
-    fat_cap: int = 512         # max tiles handled by the fat tier
+    fat_cap: int = 1024        # max tiles handled by the fat tier
+    tiles_cap: int = 0         # row-aligned tile slots (0 = auto from n)
+
+
+def default_tiles_cap(n: int) -> int:
+    """Static cap on row-aligned 128-slot tiles: every occupied grid row
+    is padded to a multiple of 128, so the tile count is ceil(n/128) plus
+    one partial tile per occupied row; 25% slack + 64 covers typical row
+    counts and the host regrows on the ``tile_overflow`` flag."""
+    base = -(-n // 128)
+    return base + max(256, base // 4)
 
 
 def _lin_coords(ijk: jnp.ndarray, w: int, dy: jnp.ndarray, dz: jnp.ndarray):
@@ -75,56 +90,18 @@ def _lin_coords(ijk: jnp.ndarray, w: int, dy: jnp.ndarray, dz: jnp.ndarray):
     return ((ijk[..., 0] + w) * dy + (ijk[..., 1] + w)) * dz + (ijk[..., 2] + w)
 
 
-def _window_descriptors(ijk_s, table, n, tile, w, dy, dz, dense_cap,
-                        offs_2d):
-    """Vectorized per-tile window descriptors for the Pallas kernel:
-    starts/lens (n_tiles, 2R) int32 ([R A-subwindows] + [R B-subwindows],
-    see tile_body), plus the straddle flag and max window length."""
-    n_tiles = -(-n // tile)
-    t = jnp.arange(n_tiles, dtype=jnp.int32)
-    p0 = jnp.minimum(t * tile, n - 1)
-    p1 = jnp.minimum(t * tile + tile - 1, n - 1)
-    ijk0 = ijk_s[p0]
-    ijk1 = ijk_s[p1]
-    same = (ijk0[:, 0] == ijk1[:, 0]) & (ijk0[:, 1] == ijk1[:, 1])
-
-    # Tight k-extents: for a row-crossing tile, subwindow A must only span
-    # up to the k of the tile's LAST point in the first row (not the row
-    # end — near sparse boundary rows that pulls in entire dense neighbor
-    # rows), and B from the k of the FIRST point in the last row.
-    row0_base = ((ijk0[:, 0] + w) * dy + (ijk0[:, 1] + w)) * dz
-    row1_base = ((ijk1[:, 0] + w) * dy + (ijk1[:, 1] + w)) * dz
-    end_first = table[jnp.clip(row0_base + dz, 0, dense_cap)]
-    start_last = table[jnp.clip(row1_base, 0, dense_cap)]
-    idx_last_a = jnp.clip(jnp.minimum(p1, end_first - 1), 0, n - 1)
-    idx_first_b = jnp.clip(jnp.maximum(p0, start_last), 0, n - 1)
-    k_a = jnp.where(same, ijk1[:, 2], ijk_s[idx_last_a, 2])
-    k_b = ijk_s[idx_first_b, 2]
-
-    starts, lens = [], []
-    for (di, dj) in offs_2d:
-        a_base = ((ijk0[:, 0] + w + di) * dy + (ijk0[:, 1] + w + dj)) * dz
-        a0 = table[jnp.clip(a_base + ijk0[:, 2], 0, dense_cap)]
-        a1 = table[jnp.clip(a_base + k_a + 2 * w + 1, 0, dense_cap)]
-        starts.append(a0)
-        lens.append(jnp.maximum(a1 - a0, 0))
-    for (di, dj) in offs_2d:
-        b_base = ((ijk1[:, 0] + w + di) * dy + (ijk1[:, 1] + w + dj)) * dz
-        b0 = table[jnp.clip(b_base + k_b, 0, dense_cap)]
-        b1 = table[jnp.clip(b_base + ijk1[:, 2] + 2 * w + 1, 0, dense_cap)]
-        starts.append(b0)
-        lens.append(jnp.where(same, 0, jnp.maximum(b1 - b0, 0)))
-    starts = jnp.stack(starts, axis=1)
-    lens = jnp.stack(lens, axis=1)
-
-    tile_of = jnp.minimum(jnp.arange(n, dtype=jnp.int32) // tile,
-                          n_tiles - 1)
-    covered = (((ijk_s[:, 0] == ijk0[tile_of, 0])
-                & (ijk_s[:, 1] == ijk0[tile_of, 1]))
-               | ((ijk_s[:, 0] == ijk1[tile_of, 0])
-                  & (ijk_s[:, 1] == ijk1[tile_of, 1])))
-    straddle = jnp.any(~covered).astype(jnp.int32)
-    return starts, lens, straddle, jnp.max(lens)
+def _blocked_cumsum(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive 1-D cumsum as a blocked 2-level scan: XLA's TPU lowering
+    of both lax.associative_scan and flat jnp.cumsum takes minutes to
+    compile at multi-million sizes (measured 2026-08-16)."""
+    m = x.shape[0]
+    blk = 1 << max(1, (m.bit_length() // 2))
+    pad_len = (-m) % blk
+    x2 = jnp.pad(x, (0, pad_len)).reshape(blk, -1)
+    within = jnp.cumsum(x2, axis=1)
+    row_off = jnp.concatenate([jnp.zeros((1,), x.dtype),
+                               jnp.cumsum(within[:, -1])[:-1]])
+    return (within + row_off[:, None]).reshape(-1)[:m]
 
 
 def build_and_search_fast(points: jnp.ndarray,
@@ -141,6 +118,7 @@ def build_and_search_fast(points: jnp.ndarray,
         sol["dense_overflow"] = jnp.zeros((), jnp.int32)
         sol["straddle"] = jnp.zeros((), jnp.int32)
         sol["pallas_used"] = jnp.zeros((), jnp.int32)
+        sol["tile_overflow"] = jnp.zeros((), jnp.int32)
         return sol, state
 
     w = cfg.stencil_w
@@ -171,18 +149,9 @@ def build_and_search_fast(points: jnp.ndarray,
 
     # Dense cell table: table[q] = number of points with lin < q, i.e. the
     # sorted start index of cell q with empty cells naturally pointing at
-    # the next occupied cell.  Built as histogram + cumsum; the cumsum is
-    # blocked 2-level because XLA's TPU lowering of both
-    # lax.associative_scan and 1-D jnp.cumsum at multi-million element
-    # sizes takes minutes to compile (measured 2026-08-16).
+    # the next occupied cell.  Built as histogram + blocked cumsum.
     hist = jnp.zeros((dense_cap + 1,), jnp.int32).at[lin + 1].add(1)
-    blk = 1 << max(1, ((dense_cap + 1).bit_length() // 2))
-    pad_len = (-(dense_cap + 1)) % blk
-    h2 = jnp.pad(hist, (0, pad_len)).reshape(blk, -1)
-    within = jnp.cumsum(h2, axis=1)
-    row_off = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(within[:, -1])[:-1]])
-    table = (within + row_off[:, None]).reshape(-1)[: dense_cap + 1]
+    table = _blocked_cumsum(hist)
 
     # packed candidate fields, padded by wcap rows so window slices never
     # clamp (padding rows carry orig index n => masked out)
@@ -206,73 +175,133 @@ def build_and_search_fast(points: jnp.ndarray,
     k_sel = cfg.nbr_cap
 
     pallas_ok = (knobs.use_pallas and 1 <= len(cfg.active_pairs) <= 4
-                 and n < (1 << 24) and w <= 2)
+                 and n <= (1 << 22) and w <= 3)
     if pallas_ok:
         from .pallas_pairs import (DESC_W, FAT_COL, LENS_OFF, N_FIELDS,
-                                   TILE as PTILE, make_pairs_call)
+                                   SENTINEL, TILE as PTILE, make_pairs_call)
 
-        p_tiles = -(-n // PTILE)
-        starts, lens, straddle, win_max = _window_descriptors(
-            ijk_s, table, n, PTILE, w, dy, dz, dense_cap, offs_2d)
-        starts = jnp.minimum(starts, n)  # slices stay inside padded arrays
-        n_win = starts.shape[1]
+        n_win = n_ranges  # one window per (di, dj): cell-run tiles
         fat_wcap = knobs.fat_wcap
         fat_cap = knobs.fat_cap
+        tiles_cap = knobs.tiles_cap if knobs.tiles_cap > 0 else \
+            default_tiles_cap(n)
+        NPAD = tiles_cap * PTILE
+
+        # ---- row-aligned padded layout (see ops/pallas_pairs.py) -------
+        # every occupied grid row ((i, j) fixed) is padded to a multiple
+        # of PTILE slots, so each 128-slot tile lies in exactly one row.
+        rid = lin_s // dz                      # padded grid-row id
+        kq = lin_s - rid * dz                  # padded k coordinate
+        r_idx = jnp.arange(dense_cap + 1, dtype=jnp.int32)
+        r_eff = jnp.minimum(r_idx, dense_cap // dz + 1)  # avoid i32 wrap
+        row_starts = table[jnp.minimum(r_eff * dz, dense_cap)]
+        row_pads = (-(row_starts[1:] - row_starts[:-1])) % PTILE
+        pads_inc = _blocked_cumsum(row_pads)
+        pads_exc = pads_inc - row_pads
+        npad_total = n + pads_inc[-1]
+        tile_overflow = (npad_total > NPAD).astype(jnp.int32)
+        pp = jnp.minimum(iota + pads_exc[rid], NPAD - 1)  # padded slot
+
+        # ---- per-tile row/k extents (scatter-reduce over tiles) --------
+        tile_of = pp // PTILE
+        k0 = jnp.full((tiles_cap,), 1 << 30, jnp.int32).at[tile_of].min(kq)
+        k1 = jnp.zeros((tiles_cap,), jnp.int32).at[tile_of].max(kq)
+        trow = jnp.zeros((tiles_cap,), jnp.int32).at[tile_of].max(rid)
+        has = jnp.zeros((tiles_cap,), jnp.int32).at[tile_of].max(
+            jnp.ones((n,), jnp.int32))
+
+        # ---- local stencil reach (variable mode) ------------------------
+        # the static stencil W = ceil(r_max_global/cell) bounds the
+        # (di, dj) loop, but each tile only reaches as far as
+        # max(its own max radius, the neighbor row's max radius) — the
+        # role of the reference's per-cell max radii driving local ghost
+        # width (TreeNSearch.cpp:781-835,1457-1466).  Windows beyond the
+        # local reach get length 0 and are skipped inside the kernel.
+        if cfg.variable:
+            row_rmax = jnp.zeros((dense_cap,), jnp.float32).at[rid].max(r_s)
+            tile_rmax = jnp.zeros((tiles_cap,), jnp.float32
+                                  ).at[tile_of].max(r_s)
+
+        # ---- window descriptors: one k-run per (di, dj) -----------------
+        # window = sorted range [table[row' + k0 - w], table[row' + k1+w+1])
+        # of neighbor row row' = trow + di*dy + dj; windows of distinct
+        # (di, dj) are disjoint, so the kernel needs no stencil recompute.
+        starts_l, lens_l = [], []
+        for (di, dj) in offs_2d:
+            rp = jnp.clip(trow + di * dy + dj, 0, dense_cap // dz)
+            base = jnp.minimum(rp * dz, dense_cap)
+            if cfg.variable:
+                reach = jnp.maximum(tile_rmax, row_rmax[rp])
+                w_need = jnp.clip(
+                    jnp.ceil(reach * inv_cell - 1e-6).astype(jnp.int32),
+                    1, w)
+                ok = (max(abs(di), abs(dj)) <= w_need).astype(jnp.int32)
+                wk = w_need
+            else:
+                ok, wk = 1, w
+            s = table[jnp.clip(base + k0 - wk, 0, dense_cap)]
+            e = table[jnp.clip(base + k1 + wk + 1, 0, dense_cap)]
+            lens_l.append(jnp.maximum(e - s, 0) * has * ok)
+            starts_l.append(jnp.clip(s + pads_exc[rp], 0, NPAD))
+        starts = jnp.stack(starts_l, axis=1)
+        lens = jnp.stack(lens_l, axis=1)
+        win_max = jnp.max(lens)
+
+        # ---- fat tier routing -------------------------------------------
         fat_mask = jnp.max(lens, axis=1) > wcap
         n_fat = jnp.sum(fat_mask.astype(jnp.int32))
         fat_overflow = (n_fat > fat_cap) | (win_max > fat_wcap)
         rank = jnp.cumsum(fat_mask.astype(jnp.int32))
-        tile_ids = jnp.arange(p_tiles, dtype=jnp.int32)
-        fat_ids = jnp.full((fat_cap,), p_tiles, jnp.int32).at[
+        tile_ids = jnp.arange(tiles_cap, dtype=jnp.int32)
+        fat_ids = jnp.full((fat_cap,), tiles_cap, jnp.int32).at[
             jnp.where(fat_mask & (rank <= fat_cap), rank - 1, fat_cap)
         ].set(tile_ids, mode="drop")
 
-        nt8 = -(-(p_tiles + 1) // 8) * 8  # +1 dummy tile for padded fat ids
+        nt8 = -(-(tiles_cap + 1) // 8) * 8  # +1 dummy tile: padded fat ids
         desc = jnp.zeros((nt8, DESC_W), jnp.int32)
-        desc = desc.at[:p_tiles, :n_win].set(starts)
-        desc = desc.at[:p_tiles, LENS_OFF:LENS_OFF + n_win].set(lens)
-        desc = desc.at[:p_tiles, FAT_COL].set(fat_mask.astype(jnp.int32))
+        desc = desc.at[:tiles_cap, :n_win].set(starts)
+        desc = desc.at[:tiles_cap, LENS_OFF:LENS_OFF + n_win].set(lens)
+        desc = desc.at[:tiles_cap, FAT_COL].set(fat_mask.astype(jnp.int32))
 
-        n_qpad = (p_tiles + 1) * PTILE
+        # ---- padded record arrays ---------------------------------------
+        # indices/set ids ride as int32 bit patterns (exact at any n);
+        # padding slots carry sentinel records: far coords kill the
+        # distance test, orig = n makes sentinels self-exclude each other.
         rfield = r_s if cfg.variable else jnp.zeros((n,), jnp.float32)
-        rec = jnp.stack([pts_s[:, 0], pts_s[:, 1], pts_s[:, 2], rfield,
-                         idx_s.astype(jnp.float32),
-                         set_id_s.astype(jnp.float32),
-                         jnp.zeros((n,), jnp.float32),
-                         jnp.zeros((n,), jnp.float32)], axis=1)
-        pad_row = jnp.zeros((1, N_FIELDS), jnp.float32).at[0, 4].set(
-            jnp.float32(n))
-        q_t = jnp.concatenate(
-            [rec, jnp.broadcast_to(pad_row, (n_qpad - n, N_FIELDS))],
-            axis=0).T
+        rec8 = jnp.stack([pts_s[:, 0], pts_s[:, 1], pts_s[:, 2], rfield,
+                          jax.lax.bitcast_convert_type(idx_s, jnp.float32),
+                          jax.lax.bitcast_convert_type(set_id_s,
+                                                       jnp.float32),
+                          jnp.zeros((n,), jnp.float32),
+                          jnp.zeros((n,), jnp.float32)], axis=1)
+        sent = jnp.zeros((N_FIELDS,), jnp.float32)
+        sent = sent.at[0].set(SENTINEL).at[1].set(SENTINEL).at[2].set(
+            SENTINEL)
+        sent = sent.at[4].set(jax.lax.bitcast_convert_type(
+            jnp.int32(n), jnp.float32))
+        sent = sent.at[5].set(jax.lax.bitcast_convert_type(
+            jnp.int32(-1), jnp.float32))
+        slack = max(wcap, fat_wcap, PTILE)
+        rec8_pad = jnp.broadcast_to(sent, (NPAD + slack, N_FIELDS))
+        rec8_pad = rec8_pad.at[pp].set(rec8)
+        # one extra (all-sentinel) tile of query columns: the fat tier's
+        # padded ids point at dummy tile `tiles_cap`
+        q_t = rec8_pad[:NPAD + PTILE].T  # (8, NPAD+128): lane-aligned
         # one point per 128-lane row: the only layout Mosaic row-DMAs with
         # exact unaligned starts (see ops/pallas_pairs.py docstring)
-        rec_rows = jnp.concatenate(
-            [rec, jnp.broadcast_to(pad_row, (fat_wcap, N_FIELDS))], axis=0)
-        rec_pad = jnp.zeros((n + fat_wcap, 128), jnp.float32
-                            ).at[:, :N_FIELDS].set(rec_rows)
+        rec_pad = jnp.pad(rec8_pad, ((0, 0), (0, 128 - N_FIELDS)))
 
-        params = jnp.zeros((8, DESC_W), jnp.float32)
-        params = params.at[0, 0].set(state.grid_min[0])
-        params = params.at[0, 1].set(state.grid_min[1])
-        params = params.at[0, 2].set(state.grid_min[2])
-        params = params.at[0, 3].set(inv_cell.astype(jnp.float32))
-        params = params.at[0, 4].set(kx.astype(jnp.float32))
-        params = params.at[0, 5].set(ky.astype(jnp.float32))
-        params = params.at[0, 6].set(kz.astype(jnp.float32))
-        params = params.at[0, 7].set(r2_fixed)
-        params = params.at[0, 8].set(jnp.float32(n))
-        params = params.at[0, 9].set(jnp.float32(w))
+        params = jnp.zeros((8, DESC_W), jnp.float32).at[0, 0].set(r2_fixed)
 
         k8 = -(-k_sel // 8) * 8  # kernel output rows need 8-row tiling
         pre_cap = min(knobs.pre_cap, k8)
-        narrow = make_pairs_call(wcap, pre_cap, k8, offs_2d,
+        narrow = make_pairs_call(wcap, pre_cap, k8, n_win,
                                  cfg.variable, cfg.symmetric,
                                  active_pairs=cfg.active_pairs,
                                  set_offsets=cfg.set_offsets,
                                  fat_tier=False, interpret=knobs.interpret)
-        outs_n = narrow(p_tiles, desc, params, q_t, rec_pad)
-        fat = make_pairs_call(fat_wcap, pre_cap, k8, offs_2d,
+        outs_n = narrow(tiles_cap, desc, params, q_t, rec_pad)
+        fat = make_pairs_call(fat_wcap, pre_cap, k8, n_win,
                               cfg.variable, cfg.symmetric,
                               active_pairs=cfg.active_pairs,
                               set_offsets=cfg.set_offsets,
@@ -281,27 +310,29 @@ def build_and_search_fast(points: jnp.ndarray,
 
         mapped = {
             "cand_total": jnp.where(fat_overflow, win_max, 0)[None],
-            "straddle": straddle[None],
+            "straddle": jnp.zeros((1,), jnp.int32),
         }
         pre_surv = jnp.zeros((), jnp.int32)
         for p, (si, sj) in enumerate(cfg.active_pairs):
             cnt_n, nbr_n = outs_n[2 * p], outs_n[2 * p + 1]
             cnt_f, nbr_f = outs_f[2 * p], outs_f[2 * p + 1]
             # merge tiers: scatter fat rows over the narrow results
-            # (padded fat ids target the dummy tile row p_tiles)
+            # (padded fat ids target the dummy tile row tiles_cap)
             counts_all = jnp.concatenate(
                 [cnt_n[0::8], jnp.zeros((1, PTILE), jnp.int32)], axis=0)
             counts_all = counts_all.at[fat_ids].set(cnt_f[0::8],
                                                     mode="drop")
             nbrs_all = jnp.concatenate(
-                [nbr_n.reshape(p_tiles, k8, PTILE),
+                [nbr_n.reshape(tiles_cap, k8, PTILE),
                  jnp.zeros((1, k8, PTILE), jnp.int32)], axis=0)
             nbrs_all = nbrs_all.at[fat_ids].set(
                 nbr_f.reshape(fat_cap, k8, PTILE), mode="drop")
+            # padded slots -> sorted order
             mapped[_pair_name(si, sj)] = {
-                "counts": counts_all[:p_tiles].reshape(-1),
-                "nbrs": jnp.transpose(nbrs_all[:p_tiles],
-                                      (0, 2, 1)).reshape(-1, k8)[:, :k_sel],
+                "counts": counts_all[:tiles_cap].reshape(-1)[pp],
+                "nbrs": jnp.transpose(nbrs_all[:tiles_cap],
+                                      (0, 2, 1)).reshape(NPAD, k8)[pp]
+                        [:, :k_sel],
             }
             pre_surv = jnp.maximum(
                 pre_surv, jnp.maximum(jnp.max(cnt_n[1::8]),
@@ -312,6 +343,7 @@ def build_and_search_fast(points: jnp.ndarray,
         # max survivors in any single window (row 1 of the counts blocks):
         # > pre_cap means per-window pre-compaction truncated -> regrow
         sol["pre_surv_max"] = pre_surv
+        sol["tile_overflow"] = tile_overflow
         return sol, state
 
     def tile_body(t):
@@ -333,7 +365,7 @@ def build_and_search_fast(points: jnp.ndarray,
         ijk0 = ijk_s[p0]
         ijk1 = ijk_s[p1]
         same_row = (ijk0[0] == ijk1[0]) & (ijk0[1] == ijk1[1])
-        # tight k-extents for crossing tiles (see _window_descriptors)
+        # tight k-extents for crossing tiles
         row0_base = ((ijk0[0] + w) * dy + (ijk0[1] + w)) * dz
         row1_base = ((ijk1[0] + w) * dy + (ijk1[1] + w)) * dz
         end_first = table[jnp.clip(row0_base + dz, 0, dense_cap)]
@@ -450,6 +482,7 @@ def build_and_search_fast(points: jnp.ndarray,
     sol = _finalize(mapped, idx_s, n, state, cfg, k_sel, dense_overflow,
                     lin_s)
     sol["pallas_used"] = jnp.zeros((), jnp.int32)
+    sol["tile_overflow"] = jnp.zeros((), jnp.int32)
     return sol, state
 
 

@@ -1,49 +1,51 @@
-"""Fused Pallas TPU kernel for the pair-search hot loop.
+"""Fused Pallas TPU kernel for the pair-search hot loop (v3: cell-run tiles).
 
 Role of the reference's ``_brute_force_simd`` + ``_prepare_brute_force_simd``
-(``TreeNSearch.cpp:2161-2569``): for each tile of consecutive sorted query
-points, fetch its stencil candidate windows, test ``d^2 <= r^2`` and emit
-compacted padded-CSR rows.
+(``TreeNSearch.cpp:2161-2569``): for each tile of 128 sorted query points,
+fetch its stencil candidate windows, test ``d^2 <= r^2`` and emit compacted
+padded-CSR neighbor rows.
 
-Design driven by measured v5e behavior (benchmarks/kernel_probe.py,
-benchmarks/mosaic_prims.py, 2026-08-16):
-  - XLA lowers data-dependent window loads to ~13 GB/s element gathers
-    -> the kernel uses real DMA;
-  - XLA roll-compaction round-trips HBM each shift step (~4.2 s/1M rows)
-    -> the whole mask->compact pipeline stays in VMEM;
-  - Mosaic lane rotates run at ~0.5 Gelem/s but sublane rotates are ~7x
-    cheaper -> candidates live on SUBLANES and queries on LANES, so all
-    log-shift networks (prefix sum + compaction) rotate across sublanes;
-  - sublane-dim DMA of a (N, 128) array needs NO alignment at all
-    (lane-dim slices need 128, narrower lane dims fail outright,
-    benchmarks/mosaic_probe*.py) -> the candidate record array stores one
-    point per 128-lane row (fields in lanes 0..7) and windows are exact
-    unaligned row-range DMAs with zero slack. This trades 16x DMA traffic
-    inflation (512 B/point) for exact windows; a 4-points-per-row packing
-    is the planned refinement if DMA-bound.
+v3 design (replaces the r1 two-subwindow scheme; see benchmarks/NOTES.md
+lever 1): the host lays the sorted points out ROW-ALIGNED — every occupied
+grid row (fixed (i, j), all k) is padded to a multiple of 128 slots — so a
+tile of 128 consecutive slots always lies in ONE grid row.  Each stencil
+offset (di, dj) then maps to exactly ONE contiguous k-run of the neighbor
+row: window = sorted positions [table[row' + k0 - W], table[row' + k1 + W + 1])
+where [k0, k1] is the tile's k-extent.  Consequences, all load-bearing:
 
-Orientation: per tile of TILE=128 queries, every per-window buffer is
-(wpad sublanes = candidates, 128 lanes = queries); counts are a sublane
-reduce; emission compacts along sublanes carrying (displacement, value)
-pairs (2 rotates/step). Outputs are (nbr_cap, 128) per tile, transposed
-back to (N, nbr_cap) in XLA.
+  - one window per (di, dj) instead of two row-bounded subwindows: the
+    candidate volume per query drops ~3x and the ``straddle`` fallback of
+    r1 disappears by construction;
+  - the windows of distinct (di, dj) are DISJOINT ranges of the sorted
+    array (different grid rows / k-runs), so no neighbor can be counted
+    twice and the expensive per-candidate cell-membership check of r1
+    (quantize + 3-axis compare, ~12 VPU ops/element) is unnecessary:
+    ``d^2 <= r^2`` alone is exact;
+  - padding slots carry sentinel records (coords 1e18, orig = n), which
+    are excluded by the distance test against any real point and by the
+    self-exclusion test against each other — no validity lanes needed.
+
+Measured v5e facts that still shape the layout (benchmarks/, 2026-08-16):
+  - sublane-dim DMA of a (N, 128) array takes exact UNALIGNED dynamic
+    starts; lane-dim slices need 128 alignment -> candidate records are
+    one point per 128-lane row and windows are exact row-range DMAs;
+  - lane rotates are ~7x costlier than sublane rotates -> candidates on
+    SUBLANES, queries on LANES; all log-shift networks rotate sublanes;
+  - ``cumsum``/``sort``/dynamic gathers do not lower in Mosaic -> the
+    compaction is a Hillis-Steele prefix + power-of-two shift network.
+
+Indices and set ids ride as int32 BIT PATTERNS in float32 lanes
+(``lax.bitcast_convert_type``), so exactness does not depend on n < 2^24.
 
 Two tiers: the narrow kernel (small wcap) handles all tiles but skips
-those whose widest window exceeds it (e.g. tiles in sparse boundary rows
-whose stencil pulls in dense neighbor rows); a second "fat" kernel with a
-large wcap re-runs just those tiles, addressed indirectly through a
-scalar-prefetched tile-id list. Per-tile cost thus tracks the typical
-window width, not the global worst case.
+those whose widest window exceeds it; a "fat" kernel with a large wcap
+re-runs just those tiles, addressed through a scalar-prefetched tile-id
+list (``PrefetchScalarGridSpec`` indirect block indexing).
 
-Field columns in the packed record array (float32): x, y, z, radius,
-original index, set id. Indices ride as exact f32 (requires N < 2**24;
-the host falls back to the XLA path beyond that).
-
-Multi-set: the window geometry mask is computed once per window; each
-active (set_i, set_j) pair then applies its set conditions and runs its
-own count/compaction into per-pair outputs (set_j-local indices via the
-static set offsets). Gated to <= 4 active pairs (VMEM scratch); larger
-matrices use the XLA fast path.
+Multi-set: the geometry mask is computed once per window; each active
+(set_i, set_j) pair applies its set conditions and compacts into its own
+outputs (set_j-local indices via the static set offsets).  Gated to <= 4
+active pairs (VMEM scratch); larger matrices use the XLA fast path.
 """
 
 from __future__ import annotations
@@ -58,8 +60,14 @@ F_X, F_Y, F_Z, F_R, F_ORIG, F_SET = 0, 1, 2, 3, 4, 5
 N_FIELDS = 8    # padded to 8 record columns
 TILE = 128      # queries per tile == lane width
 DESC_W = 128    # descriptor row width
-LENS_OFF = 64   # descriptor column of window lengths (stencil_w <= 2)
+LENS_OFF = 64   # descriptor column of window lengths (max 49 windows, W<=3)
 FAT_COL = 127   # descriptor column: 1 = tile needs the fat kernel
+
+SENTINEL = 1.0e18  # padding-slot coordinate; (SENTINEL-x)^2 -> inf > r^2
+
+
+def _i32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
 def _cumsum_sub(x: jnp.ndarray, m: int) -> jnp.ndarray:
@@ -100,7 +108,7 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
     return jnp.where(d >= 0, v, -1)[:out_w, :]
 
 
-def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
+def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                     variable: bool, symmetric: bool,
                     active_pairs=((0, 0),), set_offsets=(0,),
                     fat_tier: bool = False, interpret: bool = False):
@@ -111,30 +119,21 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
     Fat tier (``fat_tier=True``): grid over a scalar-prefetched tile-id
     list; every listed tile is processed with this (larger) wcap.
 
-    Outputs: per active pair, a counts array and a padded-CSR block.
+    Outputs: per active pair, a counts block (row 0 = neighbor counts,
+    row 1 = max per-window survivors for pre_cap regrow) and a padded-CSR
+    neighbor block.
     """
-    n_ranges = len(offs_2d)
-    n_win = 2 * n_ranges
     n_pairs = len(active_pairs)
     multi_set = len(set_offsets) > 1
-    assert n_win <= LENS_OFF, "pallas kernel supports stencil_w <= 2"
+    assert n_win <= LENS_OFF, "pallas kernel supports stencil_w <= 3"
     assert nbr_cap % 8 == 0, "pallas nbr_cap must be a multiple of 8"
     assert n_pairs <= 4, "pallas kernel supports <= 4 active pairs"
-    wpad = wcap  # exact unaligned row-range DMA: no slack needed
+    pre_cap = min(pre_cap, wcap)  # a window holds at most wcap survivors
     m2 = n_win * pre_cap
 
     def body(desc_ref, row, params_ref, qt_ref, rec_ref, out_refs,
              win, outc, sems):
-        gx = params_ref[0, 0]
-        gy = params_ref[0, 1]
-        gz = params_ref[0, 2]
-        inv_cell = params_ref[0, 3]
-        kx = params_ref[0, 4]
-        ky = params_ref[0, 5]
-        kz = params_ref[0, 6]
-        r2_fixed = params_ref[0, 7]
-        n_real = params_ref[0, 8]
-        w_stencil = params_ref[0, 9]
+        r2_fixed = params_ref[0, 0]
 
         is_fat = desc_ref[row, FAT_COL] != 0
         run = is_fat if fat_tier else jnp.logical_not(is_fat)
@@ -143,33 +142,24 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
         def _():
             for w in range(n_win):
                 pltpu.make_async_copy(
-                    rec_ref.at[pl.ds(desc_ref[row, w], wpad)],
+                    rec_ref.at[pl.ds(desc_ref[row, w], wcap)],
                     win.at[w], sems.at[w]).start()
 
             qx = qt_ref[F_X:F_X + 1, :]
             qy = qt_ref[F_Y:F_Y + 1, :]
             qz = qt_ref[F_Z:F_Z + 1, :]
-            q_orig = qt_ref[F_ORIG:F_ORIG + 1, :]
-            q_set = qt_ref[F_SET:F_SET + 1, :]
+            q_orig = _i32(qt_ref[F_ORIG:F_ORIG + 1, :])
+            q_set = _i32(qt_ref[F_SET:F_SET + 1, :])
             my_r2 = qt_ref[F_R:F_R + 1, :] ** 2
 
-            def cellof(v, g, k):
-                return jnp.clip(jnp.floor((v - g) * inv_cell), 0.0, k - 1.0)
-
-            q_i = cellof(qx, gx, kx)
-            q_j = cellof(qy, gy, ky)
-            q_k = cellof(qz, gz, kz)
-            row_valid = q_orig < n_real
-
-            sub_w = jax.lax.broadcasted_iota(jnp.int32, (wpad, TILE), 0)
+            sub_w = jax.lax.broadcasted_iota(jnp.int32, (wcap, TILE), 0)
 
             for w in range(n_win):
                 pltpu.make_async_copy(
-                    rec_ref.at[pl.ds(desc_ref[row, w], wpad)],
+                    rec_ref.at[pl.ds(desc_ref[row, w], wcap)],
                     win.at[w], sems.at[w]).wait()
 
             for w in range(n_win):
-                di, dj = offs_2d[w % n_ranges]
                 ln = desc_ref[row, LENS_OFF + w]
 
                 for p in range(n_pairs):
@@ -178,11 +168,11 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
                         jnp.full((pre_cap, TILE), -1, jnp.int32)
 
                 @pl.when(ln > 0)
-                def _(w=w, di=di, dj=dj, ln=ln):
+                def _(w=w, ln=ln):
                     wx = win[w, :, F_X:F_X + 1]
                     wy = win[w, :, F_Y:F_Y + 1]
                     wz = win[w, :, F_Z:F_Z + 1]
-                    wo = win[w, :, F_ORIG:F_ORIG + 1]
+                    wo = _i32(win[w, :, F_ORIG:F_ORIG + 1])
 
                     ddx = wx - qx
                     ddy = wy - qy
@@ -195,16 +185,12 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
                             crit = crit | (d2 <= wr * wr)
                     else:
                         crit = d2 <= r2_fixed
-                    c_i = cellof(wx, gx, kx)
-                    c_j = cellof(wy, gy, ky)
-                    c_k = cellof(wz, gz, kz)
-                    in_stencil = ((c_i == q_i + di) & (c_j == q_j + dj)
-                                  & (jnp.abs(c_k - q_k) <= w_stencil))
-                    mask_geo = (crit & in_stencil & (sub_w < ln)
-                                & (wo != q_orig) & (wo < n_real)
-                                & row_valid)
+                    # windows of distinct (di, dj) are disjoint sorted
+                    # ranges, so d^2 <= r^2 is exact: no cell-membership
+                    # recompute (the r1 kernel's in_stencil test) needed
+                    mask_geo = crit & (sub_w < ln) & (wo != q_orig)
                     if multi_set:
-                        ws = win[w, :, F_SET:F_SET + 1]
+                        ws = _i32(win[w, :, F_SET:F_SET + 1])
                     for p, (si, sj) in enumerate(active_pairs):
                         pm = mask_geo
                         if multi_set:
@@ -215,8 +201,7 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
                         cref[0:1, :] = cref[0:1, :] + wsum
                         # row 1: max per-window survivors (pre_cap regrow)
                         cref[1:2, :] = jnp.maximum(cref[1:2, :], wsum)
-                        vals = ((wo.astype(jnp.int32)
-                                 - set_offsets[sj])
+                        vals = ((wo - set_offsets[sj])
                                 * jnp.ones((1, TILE), jnp.int32))
                         outc[p * m2 + w * pre_cap:
                              p * m2 + (w + 1) * pre_cap, :] = \
@@ -252,7 +237,7 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, offs_2d,
                  win, outc, sems)
 
     scratch = [
-        pltpu.VMEM((n_win, wpad, 128), jnp.float32),
+        pltpu.VMEM((n_win, wcap, 128), jnp.float32),
         pltpu.VMEM((n_pairs * m2, TILE), jnp.int32),
         pltpu.SemaphoreType.DMA((n_win,)),
     ]
