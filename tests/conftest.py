@@ -21,3 +21,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the suite's cost is dominated by XLA
+# compiles (every distinct shape/cap combination re-traces); caching them
+# across runs cuts repeat suite time by an order of magnitude.
+jax.config.update("jax_compilation_cache_dir", "/tmp/treensearch_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -109,6 +109,7 @@ class TreeNSearch:
         self._fat_cap = _kd["fat_cap"]
         self._pre_cap = _kd["pre_cap"]
         self._tiles_cap: Optional[int] = None  # sized from N on first run
+        self._pack = _kd["pack"]
         self._grid_state: GridState = fresh_state()
         self._solution: Optional[NeighborSolution] = None
         self._zsort_maps: Optional[List[jnp.ndarray]] = None
@@ -290,7 +291,8 @@ class TreeNSearch:
                                   fat_wcap=self._fat_wcap,
                                   fat_cap=self._fat_cap,
                                   pre_cap=self._pre_cap,
-                                  tiles_cap=self._tiles_cap)
+                                  tiles_cap=self._tiles_cap,
+                                  pack=self._pack)
                 sol, state = build_and_search_fast_jit(
                     points, radii, jnp.float32(sr), jnp.float32(cell),
                     self._grid_state, cfg, knobs)
@@ -560,7 +562,8 @@ class TreeNSearch:
                           fat_wcap=self._fat_wcap,
                           fat_cap=self._fat_cap,
                           pre_cap=self._pre_cap,
-                          tiles_cap=self._tiles_cap)
+                          tiles_cap=self._tiles_cap,
+                          pack=self._pack)
 
         def step(state, points, radii=None):
             if fast:

@@ -74,6 +74,9 @@ class FastKnobs(NamedTuple):
     fat_wcap: int = 1024       # window cap of the fat tier
     fat_cap: int = 1024        # max tiles handled by the fat tier
     tiles_cap: int = 0         # row-aligned tile slots (0 = auto from n)
+    pack: int = 1              # record points per 128-lane row (1/2/4/8/16)
+    skip_stage: int = 0        # DEV ONLY: 1 = no per-window compaction,
+    #                            2 = no merge either (stage attribution)
 
 
 def default_tiles_cap(n: int) -> int:
@@ -183,6 +186,7 @@ def build_and_search_fast(points: jnp.ndarray,
         n_win = n_ranges  # one window per (di, dj): cell-run tiles
         fat_wcap = knobs.fat_wcap
         fat_cap = knobs.fat_cap
+        pack = knobs.pack
         tiles_cap = knobs.tiles_cap if knobs.tiles_cap > 0 else \
             default_tiles_cap(n)
         NPAD = tiles_cap * PTILE
@@ -191,7 +195,6 @@ def build_and_search_fast(points: jnp.ndarray,
         # every occupied grid row ((i, j) fixed) is padded to a multiple
         # of PTILE slots, so each 128-slot tile lies in exactly one row.
         rid = lin_s // dz                      # padded grid-row id
-        kq = lin_s - rid * dz                  # padded k coordinate
         r_idx = jnp.arange(dense_cap + 1, dtype=jnp.int32)
         r_eff = jnp.minimum(r_idx, dense_cap // dz + 1)  # avoid i32 wrap
         row_starts = table[jnp.minimum(r_eff * dz, dense_cap)]
@@ -202,13 +205,17 @@ def build_and_search_fast(points: jnp.ndarray,
         tile_overflow = (npad_total > NPAD).astype(jnp.int32)
         pp = jnp.minimum(iota + pads_exc[rid], NPAD - 1)  # padded slot
 
-        # ---- per-tile row/k extents (scatter-reduce over tiles) --------
+        # ---- per-tile row/k extents -------------------------------------
+        # a tile lies in ONE grid row, so min/max of the linear key give
+        # both the row id and the k-extent: two scatter-reduces total
         tile_of = pp // PTILE
-        k0 = jnp.full((tiles_cap,), 1 << 30, jnp.int32).at[tile_of].min(kq)
-        k1 = jnp.zeros((tiles_cap,), jnp.int32).at[tile_of].max(kq)
-        trow = jnp.zeros((tiles_cap,), jnp.int32).at[tile_of].max(rid)
-        has = jnp.zeros((tiles_cap,), jnp.int32).at[tile_of].max(
-            jnp.ones((n,), jnp.int32))
+        lmin = jnp.full((tiles_cap,), jnp.int32(np.iinfo(np.int32).max)
+                        ).at[tile_of].min(lin_s)
+        lmax = jnp.full((tiles_cap,), -1, jnp.int32).at[tile_of].max(lin_s)
+        has = (lmax >= 0).astype(jnp.int32)
+        trow = jnp.where(has > 0, lmin // dz, 0)
+        k0 = lmin - trow * dz
+        k1 = jnp.maximum(lmax - trow * dz, 0)
 
         # ---- local stencil reach (variable mode) ------------------------
         # the static stencil W = ceil(r_max_global/cell) bounds the
@@ -248,9 +255,11 @@ def build_and_search_fast(points: jnp.ndarray,
         win_max = jnp.max(lens)
 
         # ---- fat tier routing -------------------------------------------
-        fat_mask = jnp.max(lens, axis=1) > wcap
+        # packed DMAs start at the row floor of the first slot, so a
+        # tier's effective capacity is its wcap minus (pack-1)
+        fat_mask = jnp.max(lens, axis=1) > (wcap - (pack - 1))
         n_fat = jnp.sum(fat_mask.astype(jnp.int32))
-        fat_overflow = (n_fat > fat_cap) | (win_max > fat_wcap)
+        fat_overflow = (n_fat > fat_cap) | (win_max > fat_wcap - (pack - 1))
         rank = jnp.cumsum(fat_mask.astype(jnp.int32))
         tile_ids = jnp.arange(tiles_cap, dtype=jnp.int32)
         fat_ids = jnp.full((fat_cap,), tiles_cap, jnp.int32).at[
@@ -287,9 +296,12 @@ def build_and_search_fast(points: jnp.ndarray,
         # one extra (all-sentinel) tile of query columns: the fat tier's
         # padded ids point at dummy tile `tiles_cap`
         q_t = rec8_pad[:NPAD + PTILE].T  # (8, NPAD+128): lane-aligned
-        # one point per 128-lane row: the only layout Mosaic row-DMAs with
-        # exact unaligned starts (see ops/pallas_pairs.py docstring)
-        rec_pad = jnp.pad(rec8_pad, ((0, 0), (0, 128 - N_FIELDS)))
+        # `pack` points per 128-lane row (sublane-dim row DMAs take exact
+        # unaligned starts; lane-dim needs 128 alignment — see
+        # ops/pallas_pairs.py docstring).  pack=1: one point per row.
+        lpp = 128 // pack
+        rec_lp = jnp.pad(rec8_pad, ((0, 0), (0, lpp - N_FIELDS)))
+        rec_pad = rec_lp.reshape(-1, 128)
 
         params = jnp.zeros((8, DESC_W), jnp.float32).at[0, 0].set(r2_fixed)
 
@@ -299,20 +311,23 @@ def build_and_search_fast(points: jnp.ndarray,
                                  cfg.variable, cfg.symmetric,
                                  active_pairs=cfg.active_pairs,
                                  set_offsets=cfg.set_offsets,
-                                 fat_tier=False, interpret=knobs.interpret)
+                                 fat_tier=False, interpret=knobs.interpret,
+                                 pack=pack, skip_stage=knobs.skip_stage)
         outs_n = narrow(tiles_cap, desc, params, q_t, rec_pad)
         fat = make_pairs_call(fat_wcap, pre_cap, k8, n_win,
                               cfg.variable, cfg.symmetric,
                               active_pairs=cfg.active_pairs,
                               set_offsets=cfg.set_offsets,
-                              fat_tier=True, interpret=knobs.interpret)
+                              fat_tier=True, interpret=knobs.interpret,
+                              pack=pack, skip_stage=knobs.skip_stage)
         outs_f = fat(fat_cap, desc, params, q_t, rec_pad, ids=fat_ids)
 
-        mapped = {
-            "cand_total": jnp.where(fat_overflow, win_max, 0)[None],
-            "straddle": jnp.zeros((1,), jnp.int32),
-        }
+        # original order -> sorted slot -> padded slot, composed into ONE
+        # gather per output (no (N, k8)-sized intermediates: matters at 10M)
+        inv_perm = jnp.zeros((n,), jnp.int32).at[idx_s].set(
+            iota, unique_indices=True)
         pre_surv = jnp.zeros((), jnp.int32)
+        pairs = {}
         for p, (si, sj) in enumerate(cfg.active_pairs):
             cnt_n, nbr_n = outs_n[2 * p], outs_n[2 * p + 1]
             cnt_f, nbr_f = outs_f[2 * p], outs_f[2 * p + 1]
@@ -327,23 +342,43 @@ def build_and_search_fast(points: jnp.ndarray,
                  jnp.zeros((1, k8, PTILE), jnp.int32)], axis=0)
             nbrs_all = nbrs_all.at[fat_ids].set(
                 nbr_f.reshape(fat_cap, k8, PTILE), mode="drop")
-            # padded slots -> sorted order
-            mapped[_pair_name(si, sj)] = {
-                "counts": counts_all[:tiles_cap].reshape(-1)[pp],
-                "nbrs": jnp.transpose(nbrs_all[:tiles_cap],
-                                      (0, 2, 1)).reshape(NPAD, k8)[pp]
-                        [:, :k_sel],
-            }
+            name = _pair_name(si, sj)
+            n_i = cfg.set_sizes[si]
+            if n_i > 0:
+                rows_sorted = jax.lax.dynamic_slice_in_dim(
+                    inv_perm, cfg.set_offsets[si], n_i)
+                ppos = pp[rows_sorted]
+                t_i, lane = ppos // PTILE, ppos % PTILE
+                counts = counts_all[t_i, lane]
+                nbrs = nbrs_all[t_i, :, lane][:, :k_sel]
+                max_count = jnp.max(counts)
+            else:
+                counts = jnp.zeros((0,), jnp.int32)
+                nbrs = jnp.zeros((0, k_sel), jnp.int32)
+                max_count = jnp.zeros((), jnp.int32)
+            pairs[name] = {"counts": counts, "nbrs": nbrs,
+                           "max_count": max_count}
             pre_surv = jnp.maximum(
                 pre_surv, jnp.maximum(jnp.max(cnt_n[1::8]),
                                       jnp.max(cnt_f[1::8])))
-        sol = _finalize(mapped, idx_s, n, state, cfg, k_sel,
-                        dense_overflow, lin_s)
-        sol["pallas_used"] = jnp.ones((), jnp.int32)
-        # max survivors in any single window (row 1 of the counts blocks):
-        # > pre_cap means per-window pre-compaction truncated -> regrow
-        sol["pre_surv_max"] = pre_surv
-        sol["tile_overflow"] = tile_overflow
+
+        if n > 1:
+            n_cells_stat = 1 + jnp.sum(lin_s[1:] != lin_s[:-1])
+        else:
+            n_cells_stat = jnp.asarray(n, jnp.int32)
+        sol = {
+            "pairs": pairs,
+            "cand_max": jnp.where(fat_overflow, win_max, 0),
+            "n_cells": n_cells_stat,
+            "error": state.error,
+            "dense_overflow": dense_overflow,
+            "straddle": jnp.zeros((), jnp.int32),
+            "pallas_used": jnp.ones((), jnp.int32),
+            # max survivors in any single window (row 1 of the counts
+            # blocks): > pre_cap means pre-compaction truncated -> regrow
+            "pre_surv_max": pre_surv,
+            "tile_overflow": tile_overflow,
+        }
         return sol, state
 
     def tile_body(t):

@@ -111,13 +111,21 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
 def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                     variable: bool, symmetric: bool,
                     active_pairs=((0, 0),), set_offsets=(0,),
-                    fat_tier: bool = False, interpret: bool = False):
+                    fat_tier: bool = False, interpret: bool = False,
+                    pack: int = 1, skip_stage: int = 0):
     """Build a pallas_call for one tier.
 
     Narrow tier (``fat_tier=False``): grid over all tiles; tiles whose
     descriptor FAT_COL is set are skipped (outputs zeroed).
     Fat tier (``fat_tier=True``): grid over a scalar-prefetched tile-id
     list; every listed tile is processed with this (larger) wcap.
+
+    ``pack`` = points per 128-lane record row (1 or a divisor of 16):
+    point at padded slot g lives at row g//pack, lanes
+    (128//pack)*(g%pack) + field.  Packing divides window DMA traffic and
+    VMEM by ``pack`` at the cost of per-phase lane extraction; the
+    layout's effective window capacity is wcap - (pack-1) because the DMA
+    starts at the row floor of the window's first slot.
 
     Outputs: per active pair, a counts block (row 0 = neighbor counts,
     row 1 = max per-window survivors for pre_cap regrow) and a padded-CSR
@@ -128,8 +136,12 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
     assert n_win <= LENS_OFF, "pallas kernel supports stencil_w <= 3"
     assert nbr_cap % 8 == 0, "pallas nbr_cap must be a multiple of 8"
     assert n_pairs <= 4, "pallas kernel supports <= 4 active pairs"
+    assert 128 % pack == 0 and 128 // pack >= N_FIELDS
+    assert wcap % (8 * pack) == 0, "wcap must tile the packed rows"
     pre_cap = min(pre_cap, wcap)  # a window holds at most wcap survivors
     m2 = n_win * pre_cap
+    lpp = 128 // pack          # lanes per point
+    wrows = wcap // pack       # DMA rows per window
 
     def body(desc_ref, row, params_ref, qt_ref, rec_ref, out_refs,
              win, outc, sems):
@@ -142,7 +154,7 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
         def _():
             for w in range(n_win):
                 pltpu.make_async_copy(
-                    rec_ref.at[pl.ds(desc_ref[row, w], wcap)],
+                    rec_ref.at[pl.ds(desc_ref[row, w] // pack, wrows)],
                     win.at[w], sems.at[w]).start()
 
             qx = qt_ref[F_X:F_X + 1, :]
@@ -152,15 +164,16 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
             q_set = _i32(qt_ref[F_SET:F_SET + 1, :])
             my_r2 = qt_ref[F_R:F_R + 1, :] ** 2
 
-            sub_w = jax.lax.broadcasted_iota(jnp.int32, (wcap, TILE), 0)
+            sub_r = jax.lax.broadcasted_iota(jnp.int32, (wrows, TILE), 0)
 
             for w in range(n_win):
+                # wait per window right before its use: the DMA engine
+                # streams windows w+1.. while the VPU processes window w
                 pltpu.make_async_copy(
-                    rec_ref.at[pl.ds(desc_ref[row, w], wcap)],
+                    rec_ref.at[pl.ds(desc_ref[row, w] // pack, wrows)],
                     win.at[w], sems.at[w]).wait()
-
-            for w in range(n_win):
                 ln = desc_ref[row, LENS_OFF + w]
+                phase0 = desc_ref[row, w] % pack  # first slot's lane group
 
                 for p in range(n_pairs):
                     outc[p * m2 + w * pre_cap:
@@ -168,29 +181,54 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                         jnp.full((pre_cap, TILE), -1, jnp.int32)
 
                 @pl.when(ln > 0)
-                def _(w=w, ln=ln):
-                    wx = win[w, :, F_X:F_X + 1]
-                    wy = win[w, :, F_Y:F_Y + 1]
-                    wz = win[w, :, F_Z:F_Z + 1]
-                    wo = _i32(win[w, :, F_ORIG:F_ORIG + 1])
-
-                    ddx = wx - qx
-                    ddy = wy - qy
-                    ddz = wz - qz
-                    d2 = (ddx * ddx + ddy * ddy) + ddz * ddz
-                    if variable:
-                        crit = d2 <= my_r2
-                        if symmetric:
-                            wr = win[w, :, F_R:F_R + 1]
-                            crit = crit | (d2 <= wr * wr)
-                    else:
-                        crit = d2 <= r2_fixed
-                    # windows of distinct (di, dj) are disjoint sorted
-                    # ranges, so d^2 <= r^2 is exact: no cell-membership
-                    # recompute (the r1 kernel's in_stencil test) needed
-                    mask_geo = crit & (sub_w < ln) & (wo != q_orig)
+                def _(w=w, ln=ln, phase0=phase0):
+                    ones_t = jnp.ones((1, TILE), jnp.int32)
+                    masks, all_vals = [], []
                     if multi_set:
-                        ws = _i32(win[w, :, F_SET:F_SET + 1])
+                        all_ws = []
+                    for f in range(pack):
+                        o = f * lpp
+                        wx = win[w, :, o + F_X:o + F_X + 1]
+                        wy = win[w, :, o + F_Y:o + F_Y + 1]
+                        wz = win[w, :, o + F_Z:o + F_Z + 1]
+                        wo = _i32(win[w, :, o + F_ORIG:o + F_ORIG + 1])
+
+                        ddx = wx - qx
+                        ddy = wy - qy
+                        ddz = wz - qz
+                        d2 = (ddx * ddx + ddy * ddy) + ddz * ddz
+                        if variable:
+                            crit = d2 <= my_r2
+                            if symmetric:
+                                wr = win[w, :, o + F_R:o + F_R + 1]
+                                crit = crit | (d2 <= wr * wr)
+                        else:
+                            crit = d2 <= r2_fixed
+                        # windows of distinct (di, dj) are disjoint sorted
+                        # ranges, so d^2 <= r^2 is exact: no cell-
+                        # membership recompute (r1's in_stencil) needed.
+                        # in-window offset of (row s, lane group f):
+                        # s*pack + f - phase0 in [0, ln)
+                        off = sub_r * pack + (f - phase0)
+                        pm = crit & (off >= 0) & (off < ln) \
+                            & (wo != q_orig)
+                        masks.append(pm)
+                        # broadcast to full lane width BEFORE the phase
+                        # concat: Mosaic cannot concatenate single-lane
+                        # vectors whose lane offsets differ
+                        all_vals.append(wo * ones_t)
+                        if multi_set:
+                            all_ws.append(_i32(
+                                win[w, :, o + F_SET:o + F_SET + 1])
+                                * ones_t)
+                    if pack == 1:
+                        mask_geo, wo_b = masks[0], all_vals[0]
+                        ws = all_ws[0] if multi_set else None
+                    else:
+                        mask_geo = jnp.concatenate(masks, axis=0)
+                        wo_b = jnp.concatenate(all_vals, axis=0)
+                        ws = jnp.concatenate(all_ws, axis=0) \
+                            if multi_set else None
                     for p, (si, sj) in enumerate(active_pairs):
                         pm = mask_geo
                         if multi_set:
@@ -201,16 +239,18 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                         cref[0:1, :] = cref[0:1, :] + wsum
                         # row 1: max per-window survivors (pre_cap regrow)
                         cref[1:2, :] = jnp.maximum(cref[1:2, :], wsum)
-                        vals = ((wo - set_offsets[sj])
-                                * jnp.ones((1, TILE), jnp.int32))
-                        outc[p * m2 + w * pre_cap:
-                             p * m2 + (w + 1) * pre_cap, :] = \
-                            _compact_sub(pm, vals, pre_cap)
+                        if skip_stage < 1:  # dev knob: stage attribution
+                            outc[p * m2 + w * pre_cap:
+                                 p * m2 + (w + 1) * pre_cap, :] = \
+                                _compact_sub(pm, wo_b - set_offsets[sj],
+                                             pre_cap)
 
-            for p in range(n_pairs):
-                merged = outc[p * m2:(p + 1) * m2, :]
-                out_refs[2 * p + 1][:, :] = _compact_sub(
-                    merged >= 0, merged, nbr_cap)
+            if skip_stage < 2:
+                for p in range(n_pairs):
+                    merged = outc[p * m2:(p + 1) * m2, :]
+                    k_out = min(nbr_cap, m2)  # block rows beyond stay -1
+                    out_refs[2 * p + 1][:k_out, :] = _compact_sub(
+                        merged >= 0, merged, k_out)
 
     def _init_outs(out_refs):
         for p in range(n_pairs):
@@ -237,7 +277,7 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                  win, outc, sems)
 
     scratch = [
-        pltpu.VMEM((n_win, wcap, 128), jnp.float32),
+        pltpu.VMEM((n_win, wrows, 128), jnp.float32),
         pltpu.VMEM((n_pairs * m2, TILE), jnp.int32),
         pltpu.SemaphoreType.DMA((n_win,)),
     ]
