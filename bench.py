@@ -43,6 +43,12 @@ def main():
     eng.add_point_set(pts)
     eng.set_search_radius(RADIUS)
     eng.set_all_searches(True)
+    # measured-best TPU knobs at 1M (benchmarks/sweep_v3.py): cell = 1.0*r
+    # (smaller windows beat the reference's 1.5*r occupancy trade-off on
+    # the VPU), 4-points-per-row packed records, windows capped at 192
+    eng.set_cell_size(float(os.environ.get("BENCH_CELLF", 1.0)) * RADIUS)
+    eng._wcap = int(os.environ.get("BENCH_WCAP", 192))
+    eng._pack = int(os.environ.get("BENCH_PACK", 4))
 
     # z-order once (SPH practice), settle the padding caps, warm the cache
     eng.prepare_zsort()

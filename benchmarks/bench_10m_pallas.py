@@ -38,9 +38,14 @@ eng = TreeNSearch()
 eng.add_point_set(pts)
 eng.set_search_radius(R)
 eng.set_all_searches(True)
-eng.set_neighbor_cap(64)
+# preset caps: a regrow recompile at 10M costs minutes, so start at the
+# measured-good values (~43 avg neighbors at R=0.0101)
+eng.set_neighbor_cap(int(os.environ.get("NBR", 112)))
+eng.set_cell_size(float(os.environ.get("CELLF", 1.0)) * R)
 eng._pack = 4
-eng._dense_cap = 1 << 20   # 75^3 padded grid = 422k cells
+eng._wcap = int(os.environ.get("WCAP", 192))
+eng._pre_cap = int(os.environ.get("PRECAP", 112))
+eng._dense_cap = 1 << 21   # 111^3 padded grid = 1.37M cells
 stamp(f"run {N} (pallas pack=4)")
 eng.run()
 counts = np.asarray(eng.get_neighbors(0, 0)[0])

@@ -29,11 +29,13 @@ from treensearch_tpu.utils import keys as K
 
 N = int(os.environ.get("N", 1_000_000))
 R = float(os.environ.get("R", 0.02))
+CELLF = float(os.environ.get("CELLF", 1.5))
 ITERS = int(os.environ.get("ITERS", 10))
 WCAP = int(os.environ.get("WCAP", 288))
-DENSE = 1 << 21
+DENSE = int(os.environ.get("DENSE", 1 << 19))
 PTILE = 128
 W = 1
+PACK = int(os.environ.get("PACK", 4))
 
 rng = np.random.default_rng(0)
 pts_np = rng.uniform(0, 1, (N, 3)).astype(np.float32)
@@ -52,13 +54,13 @@ def timed(name, fn, *args):
     return dt
 
 
-state0 = update_grid(fresh_state(), jnp.asarray(pts_np), jnp.float32(1.5 * R))
+state0 = update_grid(fresh_state(), jnp.asarray(pts_np), jnp.float32(CELLF * R))
 tiles_cap = default_tiles_cap(N)
 NPAD = tiles_cap * PTILE
 
 
 def prep(points, upto):
-    st = update_grid(fresh_state(), points, jnp.float32(1.5 * R))
+    st = update_grid(fresh_state(), points, jnp.float32(CELLF * R))
     kx, ky, kz = st.n_cells[0], st.n_cells[1], st.n_cells[2]
     dy, dz = ky + 2 * W, kz + 2 * W
     inv_cell = 1.0 / st.cell_size
@@ -72,8 +74,9 @@ def prep(points, upto):
 
     hist = jnp.zeros((DENSE + 1,), jnp.int32).at[lin + 1].add(1)
     table = _blocked_cumsum(hist)
+    if upto == "T":
+        return table[::4096].sum() + pts_s[0, 0]
     rid = lin_s // dz
-    kq = lin_s - rid * dz
     r_idx = jnp.arange(DENSE + 1, dtype=jnp.int32)
     r_eff = jnp.minimum(r_idx, DENSE // dz + 1)
     row_starts = table[jnp.minimum(r_eff * dz, DENSE)]
@@ -81,12 +84,16 @@ def prep(points, upto):
     pads_inc = _blocked_cumsum(row_pads)
     pads_exc = pads_inc - row_pads
     pp = jnp.minimum(iota + pads_exc[rid], NPAD - 1)
+    if upto == "P":
+        return pp[::4096].sum() + pts_s[0, 0]
     tile_of = pp // PTILE
-    k0 = jnp.full((tiles_cap,), 1 << 30, jnp.int32).at[tile_of].min(kq)
-    k1 = jnp.zeros((tiles_cap,), jnp.int32).at[tile_of].max(kq)
-    trow = jnp.zeros((tiles_cap,), jnp.int32).at[tile_of].max(rid)
-    has = jnp.zeros((tiles_cap,), jnp.int32).at[tile_of].max(
-        jnp.ones((N,), jnp.int32))
+    lmin = jnp.full((tiles_cap,), np.iinfo(np.int32).max,
+                    jnp.int32).at[tile_of].min(lin_s)
+    lmax = jnp.full((tiles_cap,), -1, jnp.int32).at[tile_of].max(lin_s)
+    has = (lmax >= 0).astype(jnp.int32)
+    trow = jnp.where(has > 0, lmin // dz, 0)
+    k0 = lmin - trow * dz
+    k1 = jnp.maximum(lmax - trow * dz, 0)
     starts_l, lens_l = [], []
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
@@ -110,7 +117,8 @@ def prep(points, upto):
     sent = jnp.zeros((8,), jnp.float32).at[0].set(1e18)
     rec8_pad = jnp.broadcast_to(sent, (NPAD + 1024, 8)).at[pp].set(rec8)
     q_t = rec8_pad[:NPAD + PTILE].T
-    rec_pad = jnp.pad(rec8_pad, ((0, 0), (0, 120)))
+    lpp = 128 // PACK
+    rec_pad = jnp.pad(rec8_pad, ((0, 0), (0, lpp - 8))).reshape(-1, 128)
     return q_t[:, ::4096].sum() + rec_pad[::4096, 0].sum() + starts[0, 0]
 
 
@@ -124,13 +132,16 @@ def loop(upto):
 
 
 pts_dev = jnp.asarray(pts_np)
-stamp(f"lens histogram + stage timings, N={N} wcap={WCAP}")
+stamp(f"stage timings, N={N} wcap={WCAP} cellf={CELLF} dense={DENSE} "
+      f"pack={PACK}")
 tA = timed("A sort+gather", loop("A"), pts_dev)
-tB = timed("B +table+layout+desc", loop("B"), pts_dev)
+tT = timed("T +hist+table", loop("T"), pts_dev)
+tP = timed("P +rowpads+pp", loop("P"), pts_dev)
+tB = timed("B +tilestats+desc", loop("B"), pts_dev)
 tC = timed("C +records", loop("C"), pts_dev)
 
 # window-length histogram (what wcap should be)
-st = update_grid(fresh_state(), pts_dev, jnp.float32(1.5 * R))
+st = update_grid(fresh_state(), pts_dev, jnp.float32(CELLF * R))
 out = jax.jit(lambda p: prep(p, "B"))(pts_dev)  # warm
 
 # measure the full engine step at this WCAP
@@ -138,7 +149,10 @@ eng = TreeNSearch()
 eng.add_point_set(pts_np)
 eng.set_search_radius(R)
 eng.set_all_searches(True)
+eng.set_cell_size(CELLF * R)
 eng._wcap = WCAP
+eng._pack = PACK
+eng._dense_cap = DENSE
 eng._pre_cap = int(os.environ.get("PRECAP", 48))
 eng.run()
 stamp(f"engine stats: {eng._last_stats}  wcap={eng._wcap} "

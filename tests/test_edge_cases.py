@@ -12,8 +12,11 @@ from treensearch_tpu.oracle import BruteforceNSearch
 
 @pytest.mark.parametrize("counts", [
     (0,), (1,), (2,), (7,), (16,), (17,),
-    (0, 0), (0, 5), (5, 0), (1, 1), (9, 16), (100, 3),
-    (0, 1, 100), (4, 0, 9),
+    # pallas tile (=128) boundary cases
+    (127,), (128,), (129,),
+    (0, 0), (0, 5), (5, 0), (1, 1), (9, 16), (100, 3), (128, 1),
+    (127, 2), (31, 97),
+    (0, 1, 100), (4, 0, 9), (126, 1, 2),
 ])
 def test_combinatorial_small_sets(counts):
     # reference combinatorial_stress_test (tests.cpp:287-427), reduced grid
@@ -70,26 +73,24 @@ def test_no_active_searches_is_legal():
 
 
 def test_dynamic_emitter_churn():
-    # reduced dynamic_emitter_stress_test (tests.cpp:434-514): random
-    # add/remove/replace of points in 2 sets, oracle-compared each step
+    # dynamic_emitter_stress_test analog (tests.cpp:434-514): random
+    # add/remove/replace of points in 2 sets, oracle-compared each step.
+    # Sizes CYCLE through a fixed schedule so XLA shape compiles are
+    # reused across iterations (the reference's 10000 free-shape C++
+    # iterations would be 10000 recompiles here); 48 iterations cover
+    # each (n0, n1) shape pair several times with fresh random data.
     rng = np.random.default_rng(11)
-    n0, n1 = 40, 30
+    sizes0 = (40, 45, 39, 45, 40, 1, 40, 128)
+    sizes1 = (30, 30, 7, 30, 30, 30, 0, 30)
     eng = TreeNSearch()
-    p0 = rng.uniform(0, 1, (n0, 3)).astype(np.float32)
-    p1 = rng.uniform(0, 1, (n1, 3)).astype(np.float32)
-    eng.add_point_set(p0)
-    eng.add_point_set(p1)
+    eng.add_point_set(np.zeros((sizes0[0], 3), np.float32))
+    eng.add_point_set(np.zeros((sizes1[0], 3), np.float32))
     eng.set_search_radius(0.25)
     eng.set_all_searches(True)
-    for it in range(8):
-        action = it % 3
-        if action == 0:
-            p0 = np.concatenate(
-                [p0, rng.uniform(0, 1, (5, 3)).astype(np.float32)])
-        elif action == 1 and p0.shape[0] > 6:
-            p0 = p0[:-6]
-        else:
-            p1 = rng.uniform(0, 1, p1.shape).astype(np.float32)
+    for it in range(48):
+        p0 = rng.uniform(0, 1, (sizes0[it % 8], 3)).astype(np.float32)
+        p1 = rng.uniform(0, 1, (sizes1[(it // 2) % 8], 3)).astype(
+            np.float32)
         eng.resize_point_set(0, p0)
         eng.resize_point_set(1, p1)
         eng.run()

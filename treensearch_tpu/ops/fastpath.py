@@ -177,8 +177,10 @@ def build_and_search_fast(points: jnp.ndarray,
     n_groups = -(-n_tiles // group)
     k_sel = cfg.nbr_cap
 
+    # memory gate: the padded record array costs 512/pack bytes per point
+    # (~2 GB ceiling); beyond it the XLA tile path serves
     pallas_ok = (knobs.use_pallas and 1 <= len(cfg.active_pairs) <= 4
-                 and n <= (1 << 22) and w <= 3)
+                 and n <= (1 << 22) * knobs.pack and w <= 3)
     if pallas_ok:
         from .pallas_pairs import (DESC_W, FAT_COL, LENS_OFF, N_FIELDS,
                                    SENTINEL, TILE as PTILE, make_pairs_call)
@@ -249,7 +251,9 @@ def build_and_search_fast(points: jnp.ndarray,
             s = table[jnp.clip(base + k0 - wk, 0, dense_cap)]
             e = table[jnp.clip(base + k1 + wk + 1, 0, dense_cap)]
             lens_l.append(jnp.maximum(e - s, 0) * has * ok)
-            starts_l.append(jnp.clip(s + pads_exc[rp], 0, NPAD))
+            # window starts index the UNPADDED sorted records: only the
+            # query tiling needs row alignment, windows use exact ranges
+            starts_l.append(jnp.clip(s, 0, n))
         starts = jnp.stack(starts_l, axis=1)
         lens = jnp.stack(lens_l, axis=1)
         win_max = jnp.max(lens)
@@ -291,17 +295,24 @@ def build_and_search_fast(points: jnp.ndarray,
         sent = sent.at[5].set(jax.lax.bitcast_convert_type(
             jnp.int32(-1), jnp.float32))
         slack = max(wcap, fat_wcap, PTILE)
-        rec8_pad = jnp.broadcast_to(sent, (NPAD + slack, N_FIELDS))
-        rec8_pad = rec8_pad.at[pp].set(rec8)
-        # one extra (all-sentinel) tile of query columns: the fat tier's
-        # padded ids point at dummy tile `tiles_cap`
-        q_t = rec8_pad[:NPAD + PTILE].T  # (8, NPAD+128): lane-aligned
-        # `pack` points per 128-lane row (sublane-dim row DMAs take exact
+        # candidate records stay in plain sorted order (contiguous build,
+        # no scatter) with a sentinel tail for window overreads; `pack`
+        # points per 128-lane row (sublane-dim row DMAs take exact
         # unaligned starts; lane-dim needs 128 alignment — see
-        # ops/pallas_pairs.py docstring).  pack=1: one point per row.
+        # ops/pallas_pairs.py docstring)
         lpp = 128 // pack
-        rec_lp = jnp.pad(rec8_pad, ((0, 0), (0, lpp - N_FIELDS)))
+        tail = slack + (-n % pack)
+        rec_lp = jnp.pad(
+            jnp.concatenate([rec8, jnp.broadcast_to(sent,
+                                                    (tail, N_FIELDS))]),
+            ((0, 0), (0, lpp - N_FIELDS)))
         rec_pad = rec_lp.reshape(-1, 128)
+        # queries DO need lane alignment: scatter into the row-aligned
+        # layout (one extra all-sentinel tile: the fat tier's padded ids
+        # point at dummy tile `tiles_cap`)
+        q8_pad = jnp.broadcast_to(sent, (NPAD + PTILE, N_FIELDS)
+                                  ).at[pp].set(rec8)
+        q_t = q8_pad.T                   # (8, NPAD+128)
 
         params = jnp.zeros((8, DESC_W), jnp.float32).at[0, 0].set(r2_fixed)
 
@@ -312,14 +323,16 @@ def build_and_search_fast(points: jnp.ndarray,
                                  active_pairs=cfg.active_pairs,
                                  set_offsets=cfg.set_offsets,
                                  fat_tier=False, interpret=knobs.interpret,
-                                 pack=pack, skip_stage=knobs.skip_stage)
+                                 pack=pack, skip_stage=knobs.skip_stage,
+                                 val_bound=max(cfg.set_sizes))
         outs_n = narrow(tiles_cap, desc, params, q_t, rec_pad)
         fat = make_pairs_call(fat_wcap, pre_cap, k8, n_win,
                               cfg.variable, cfg.symmetric,
                               active_pairs=cfg.active_pairs,
                               set_offsets=cfg.set_offsets,
                               fat_tier=True, interpret=knobs.interpret,
-                              pack=pack, skip_stage=knobs.skip_stage)
+                              pack=pack, skip_stage=knobs.skip_stage,
+                              val_bound=max(cfg.set_sizes))
         outs_f = fat(fat_cap, desc, params, q_t, rec_pad, ids=fat_ids)
 
         # original order -> sorted slot -> padded slot, composed into ONE

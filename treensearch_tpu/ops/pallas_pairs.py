@@ -81,19 +81,55 @@ def _cumsum_sub(x: jnp.ndarray, m: int) -> jnp.ndarray:
     return x
 
 
+def _mask_prefix_mxu(mask: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix COUNT of a boolean mask along sublanes via one
+    MXU matmul: p = tril(1) @ mask.  Exact: {0,1} operands are exact in
+    bfloat16 and the f32 accumulator holds integers <= 2^24 (mask heights
+    here are <= a few thousand).  Replaces log2(m) VPU roll+add steps
+    with MACs the MXU does for free."""
+    m = mask.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+    tri = (row >= col).astype(jnp.bfloat16)
+    p = jax.lax.dot_general(
+        tri, mask.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return p.astype(jnp.int32)
+
+
 def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
-                 p: jnp.ndarray = None):
+                 p: jnp.ndarray = None, val_bound: int = 1 << 30):
     """Front-pack masked values along sublanes, order preserving.
 
-    Carries (remaining displacement | -1, value); displacements are
-    monotone along the axis so moving by ascending power-of-two strides
-    never collides (see utils/compact.py). 2 sublane rotates per step.
+    Displacements are monotone along the axis so moving by ascending
+    power-of-two strides never collides (see utils/compact.py).  When the
+    values fit below 2^sh (sh chosen so (m+1)*2^sh < 2^31), displacement
+    and value ride PACKED in one int32 — one sublane rotate per step —
+    otherwise two planes (2 rotates) are carried.
     """
     m, q = mask.shape
     sub = jax.lax.broadcasted_iota(jnp.int32, (m, q), 0)
     if p is None:
-        p = _cumsum_sub(mask.astype(jnp.int32), m)
+        p = _mask_prefix_mxu(mask)
     keep = mask & (p <= out_w)
+
+    sh = 31 - (m + 1).bit_length()
+    if 0 <= val_bound <= (1 << sh) - 1:
+        # packed carry: c = (displacement+1) << sh | value; 0 = invalid
+        e = jnp.where(keep, sub - (p - 1) + 1, 0)
+        c = jnp.where(keep, (e << sh) | vals, 0)
+        s = 1
+        while s < m:
+            in_c = pltpu.roll(c, m - s, 0)      # in_c[i] = c[i + s]
+            in_e = in_c >> sh
+            take = (in_e > 0) & (((in_e - 1) & s) != 0) & (sub < m - s)
+            stay = (e > 0) & (((e - 1) & s) == 0)
+            c = jnp.where(take, in_c - (s << sh), jnp.where(stay, c, 0))
+            e = jnp.where(take, in_e - s, jnp.where(stay, e, 0))
+            s <<= 1
+        out = jnp.where(e > 0, c & ((1 << sh) - 1), -1)
+        return out[:out_w, :]
+
     d = jnp.where(keep, sub - (p - 1), -1)
     v = vals
     s = 1
@@ -112,7 +148,8 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                     variable: bool, symmetric: bool,
                     active_pairs=((0, 0),), set_offsets=(0,),
                     fat_tier: bool = False, interpret: bool = False,
-                    pack: int = 1, skip_stage: int = 0):
+                    pack: int = 1, skip_stage: int = 0,
+                    val_bound: int = 1 << 30):
     """Build a pallas_call for one tier.
 
     Narrow tier (``fat_tier=False``): grid over all tiles; tiles whose
@@ -233,8 +270,8 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                         pm = mask_geo
                         if multi_set:
                             pm = pm & (q_set == si) & (ws == sj)
-                        wsum = jnp.sum(pm.astype(jnp.int32), axis=0,
-                                       keepdims=True)
+                        prefix = _mask_prefix_mxu(pm)
+                        wsum = prefix[wcap - 1:wcap, :]
                         cref = out_refs[2 * p]
                         cref[0:1, :] = cref[0:1, :] + wsum
                         # row 1: max per-window survivors (pre_cap regrow)
@@ -243,14 +280,15 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                             outc[p * m2 + w * pre_cap:
                                  p * m2 + (w + 1) * pre_cap, :] = \
                                 _compact_sub(pm, wo_b - set_offsets[sj],
-                                             pre_cap)
+                                             pre_cap, p=prefix,
+                                             val_bound=val_bound)
 
             if skip_stage < 2:
                 for p in range(n_pairs):
                     merged = outc[p * m2:(p + 1) * m2, :]
                     k_out = min(nbr_cap, m2)  # block rows beyond stay -1
                     out_refs[2 * p + 1][:k_out, :] = _compact_sub(
-                        merged >= 0, merged, k_out)
+                        merged >= 0, merged, k_out, val_bound=val_bound)
 
     def _init_outs(out_refs):
         for p in range(n_pairs):
