@@ -68,7 +68,10 @@ def main():
             sol, state = step(state, points)
             p = sol["pairs"]["0-0"]
             # consume both outputs so nothing is dead-code-eliminated
-            acc = acc + p["counts"][0] + jnp.sum(p["nbrs"],
+            # (the pallas path returns the records in tile layout plus a
+            # per-point pointer — the reference's solution_ptr analog)
+            nb = p["nbrs"] if "nbrs" in p else p["nbrs_tiles"]
+            acc = acc + p["counts"][0] + jnp.sum(nb[::17],
                                                  dtype=jnp.int32)
             return state, acc
         state, acc = jax.lax.fori_loop(0, ITERS, body,

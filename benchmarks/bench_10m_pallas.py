@@ -40,12 +40,14 @@ eng.set_search_radius(R)
 eng.set_all_searches(True)
 # preset caps: a regrow recompile at 10M costs minutes, so start at the
 # measured-good values (~43 avg neighbors at R=0.0101)
-eng.set_neighbor_cap(int(os.environ.get("NBR", 112)))
+eng.set_neighbor_cap(int(os.environ.get("NBR", 96)))
 eng.set_cell_size(float(os.environ.get("CELLF", 1.0)) * R)
 eng._pack = 4
 eng._wcap = int(os.environ.get("WCAP", 192))
-eng._pre_cap = int(os.environ.get("PRECAP", 112))
+eng._pre_cap = int(os.environ.get("PRECAP", 96))
 eng._dense_cap = 1 << 21   # 111^3 padded grid = 1.37M cells
+if "TILES" in os.environ:
+    eng._tiles_cap = int(os.environ["TILES"])
 stamp(f"run {N} (pallas pack=4)")
 eng.run()
 counts = np.asarray(eng.get_neighbors(0, 0)[0])
@@ -77,8 +79,9 @@ def loop(p, st):
     def body(_, carry):
         st, acc = carry
         sol, st = step(st, p)
-        return st, acc + sol["pairs"]["0-0"]["counts"][0] + jnp.sum(
-            sol["pairs"]["0-0"]["nbrs"][::997], dtype=jnp.int32)
+        p2 = sol["pairs"]["0-0"]
+        nb = p2["nbrs"] if "nbrs" in p2 else p2["nbrs_tiles"]
+        return st, acc + p2["counts"][0] + jnp.sum(nb[::17], dtype=jnp.int32)
     return jax.lax.fori_loop(0, ITERS, body, (st, jnp.int32(0)))
 
 

@@ -130,7 +130,9 @@ for combo in COMBOS.split():
         def body(i, carry):
             st, acc = carry
             sol, st = step(st, points)
-            return st, acc + sol["pairs"]["0-0"]["counts"][0]
+            p = sol["pairs"]["0-0"]
+            nb = p["nbrs"] if "nbrs" in p else p["nbrs_tiles"]
+            return st, acc + p["counts"][0] + jnp.sum(nb[::17], dtype=jnp.int32)
         return jax.lax.fori_loop(0, ITERS, body, (st, jnp.int32(0)))
 
     st, acc = loop(pts_dev, st0)

@@ -16,7 +16,9 @@ import pytest
 from jax.experimental import pallas as pl
 
 from treensearch_tpu.config import SearchConfig
-from treensearch_tpu.ops.fastpath import FastKnobs, build_and_search_fast_jit
+from treensearch_tpu.ops.fastpath import (FastKnobs,
+                                          build_and_search_fast_jit,
+                                          materialize_nbrs)
 from treensearch_tpu.ops.grid import fresh_state
 from treensearch_tpu.ops.pallas_pairs import _compact_sub, _cumsum_sub
 from treensearch_tpu.oracle import BruteforceNSearch
@@ -62,7 +64,7 @@ def _run_fast(pts_np, rad_np, r, cell, cfg, knobs):
 
 def _assert_pair_parity(sol, orc, si, sj, n_i):
     cnt = np.asarray(sol["pairs"][f"{si}-{sj}"]["counts"])
-    nb = np.asarray(sol["pairs"][f"{si}-{sj}"]["nbrs"])
+    nb = np.asarray(materialize_nbrs(sol["pairs"][f"{si}-{sj}"]))
     for i in range(n_i):
         got = np.sort(nb[i][: cnt[i]])
         assert np.array_equal(got, orc.neighbors[(si, sj)][i]), (si, sj, i)

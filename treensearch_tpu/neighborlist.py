@@ -58,6 +58,15 @@ class NeighborSolution:
         self._np_cache: dict = {}
         self.nbr_cap = nbr_cap
 
+    def _materialized(self, p: dict):
+        """Per-point padded rows; the pallas solution stores tile-layout
+        records + a per-point pointer (reference solution_ptr analog) and
+        materializes the (n, cap) view once, on first access."""
+        if "nbrs" not in p:
+            from .ops.fastpath import materialize_nbrs
+            p["nbrs"] = materialize_nbrs(p)
+        return p["nbrs"]
+
     def _fetch(self, si: int, sj: int):
         key = f"{si}-{sj}"
         if key not in self._np_cache:
@@ -67,7 +76,7 @@ class NeighborSolution:
                     "set_active_search before run()")
             p = self._dev[key]
             self._np_cache[key] = (np.asarray(p["counts"]),
-                                   np.asarray(p["nbrs"]))
+                                   np.asarray(self._materialized(p)))
         return self._np_cache[key]
 
     def get_neighborlist(self, si: int, sj: int, i: int) -> NeighborList:
@@ -86,12 +95,13 @@ class NeighborSolution:
         if key not in self._dev:
             raise KeyError(f"search ({si} -> {sj}) is not active")
         p = self._dev[key]
-        return p["counts"], p["nbrs"]
+        return p["counts"], self._materialized(p)
 
     def n_bytes(self) -> int:
         """Memory of the neighbor data, reference
         ``get_neighborlist_n_bytes`` (``TreeNSearch.cpp:254-261``)."""
         total = 0
         for p in self._dev.values():
-            total += p["counts"].size * 4 + p["nbrs"].size * 4
+            nb = p["nbrs"] if "nbrs" in p else p["nbrs_tiles"]
+            total += p["counts"].size * 4 + nb.size * 4
         return total

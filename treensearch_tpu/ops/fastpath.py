@@ -79,6 +79,21 @@ class FastKnobs(NamedTuple):
     #                            2 = no merge either (stage attribution)
 
 
+def materialize_nbrs(pair: dict) -> jnp.ndarray:
+    """Per-point padded neighbor rows for one pair's solution.
+
+    The Pallas path keeps neighbor records in their tile layout plus a
+    per-point (tile, lane) pointer (``qpos``) — the TPU analog of the
+    reference's ``solution_ptr`` indirection into per-thread record
+    chunks (``TreeNSearch.cpp:2496-2500``) — so the (n, cap) per-point
+    view is a single gather, done only when a consumer asks for it."""
+    if "nbrs" in pair:
+        return pair["nbrs"]
+    qpos = pair["qpos"]
+    t_i, lane = qpos // 128, qpos % 128
+    return pair["nbrs_tiles"][t_i, :, lane]
+
+
 def default_tiles_cap(n: int) -> int:
     """Static cap on row-aligned 128-slot tiles: every occupied grid row
     is padded to a multiple of 128, so the tile count is ceil(n/128) plus
@@ -277,23 +292,31 @@ def build_and_search_fast(points: jnp.ndarray,
         desc = desc.at[:tiles_cap, FAT_COL].set(fat_mask.astype(jnp.int32))
 
         # ---- padded record arrays ---------------------------------------
-        # indices/set ids ride as int32 bit patterns (exact at any n);
-        # padding slots carry sentinel records: far coords kill the
+        # Record arrays are INT32-typed: coordinates ride as f32 bit
+        # patterns bitcast into ints and indices/set ids are plain ints.
+        # The reverse (ints bitcast into f32 lanes) is UNSOUND on TPU:
+        # indices < 2^23 are f32 denormals and the hardware flushes them
+        # to zero in float relayouts (observed at 1M: every candidate
+        # orig read 0, turning off self-exclusion).  Integer moves never
+        # flush, and any f32 pattern is a valid int32.
+        # Padding slots carry sentinel records: far coords kill the
         # distance test, orig = n makes sentinels self-exclude each other.
+        def _asbits(x):
+            return jax.lax.bitcast_convert_type(x, jnp.int32)
+
         rfield = r_s if cfg.variable else jnp.zeros((n,), jnp.float32)
-        rec8 = jnp.stack([pts_s[:, 0], pts_s[:, 1], pts_s[:, 2], rfield,
-                          jax.lax.bitcast_convert_type(idx_s, jnp.float32),
-                          jax.lax.bitcast_convert_type(set_id_s,
-                                                       jnp.float32),
-                          jnp.zeros((n,), jnp.float32),
-                          jnp.zeros((n,), jnp.float32)], axis=1)
-        sent = jnp.zeros((N_FIELDS,), jnp.float32)
-        sent = sent.at[0].set(SENTINEL).at[1].set(SENTINEL).at[2].set(
-            SENTINEL)
-        sent = sent.at[4].set(jax.lax.bitcast_convert_type(
-            jnp.int32(n), jnp.float32))
-        sent = sent.at[5].set(jax.lax.bitcast_convert_type(
-            jnp.int32(-1), jnp.float32))
+        rec8 = jnp.stack([_asbits(pts_s[:, 0]), _asbits(pts_s[:, 1]),
+                          _asbits(pts_s[:, 2]), _asbits(rfield),
+                          idx_s, set_id_s,
+                          jnp.zeros((n,), jnp.int32),
+                          jnp.zeros((n,), jnp.int32)], axis=1)
+        sent_xyz = jax.lax.bitcast_convert_type(jnp.float32(SENTINEL),
+                                                jnp.int32)
+        sent = jnp.zeros((N_FIELDS,), jnp.int32)
+        sent = sent.at[0].set(sent_xyz).at[1].set(sent_xyz).at[2].set(
+            sent_xyz)
+        sent = sent.at[4].set(jnp.int32(n))
+        sent = sent.at[5].set(jnp.int32(-1))
         slack = max(wcap, fat_wcap, PTILE)
         # candidate records stay in plain sorted order (contiguous build,
         # no scatter) with a sentinel tail for window overreads; `pack`
@@ -344,33 +367,32 @@ def build_and_search_fast(points: jnp.ndarray,
         for p, (si, sj) in enumerate(cfg.active_pairs):
             cnt_n, nbr_n = outs_n[2 * p], outs_n[2 * p + 1]
             cnt_f, nbr_f = outs_f[2 * p], outs_f[2 * p + 1]
-            # merge tiers: scatter fat rows over the narrow results
-            # (padded fat ids target the dummy tile row tiles_cap)
-            counts_all = jnp.concatenate(
-                [cnt_n[0::8], jnp.zeros((1, PTILE), jnp.int32)], axis=0)
-            counts_all = counts_all.at[fat_ids].set(cnt_f[0::8],
-                                                    mode="drop")
-            nbrs_all = jnp.concatenate(
-                [nbr_n.reshape(tiles_cap, k8, PTILE),
-                 jnp.zeros((1, k8, PTILE), jnp.int32)], axis=0)
-            nbrs_all = nbrs_all.at[fat_ids].set(
-                nbr_f.reshape(fat_cap, k8, PTILE), mode="drop")
+            # merge tiers: scatter fat rows over the narrow results;
+            # padded fat ids equal tiles_cap = out of bounds -> dropped
+            # (no dummy-row concat: at 10M that copy alone is >5 GB)
+            counts_all = cnt_n[0::8].at[fat_ids].set(cnt_f[0::8],
+                                                     mode="drop")
+            nbrs_all = nbr_n.reshape(tiles_cap, k8, PTILE).at[
+                fat_ids].set(nbr_f.reshape(fat_cap, k8, PTILE),
+                             mode="drop")
             name = _pair_name(si, sj)
             n_i = cfg.set_sizes[si]
             if n_i > 0:
                 rows_sorted = jax.lax.dynamic_slice_in_dim(
                     inv_perm, cfg.set_offsets[si], n_i)
                 ppos = pp[rows_sorted]
-                t_i, lane = ppos // PTILE, ppos % PTILE
-                counts = counts_all[t_i, lane]
-                nbrs = nbrs_all[t_i, :, lane][:, :k_sel]
+                counts = counts_all[ppos // PTILE, ppos % PTILE]
                 max_count = jnp.max(counts)
+                # neighbor rows stay in tile layout + per-point pointer
+                # (see materialize_nbrs); at 10M the per-point gather
+                # alone is ~4 GB, so it runs only on demand
+                pairs[name] = {"counts": counts, "max_count": max_count,
+                               "nbrs_tiles": nbrs_all, "qpos": ppos}
             else:
-                counts = jnp.zeros((0,), jnp.int32)
-                nbrs = jnp.zeros((0, k_sel), jnp.int32)
-                max_count = jnp.zeros((), jnp.int32)
-            pairs[name] = {"counts": counts, "nbrs": nbrs,
-                           "max_count": max_count}
+                pairs[name] = {
+                    "counts": jnp.zeros((0,), jnp.int32),
+                    "nbrs": jnp.zeros((0, k_sel), jnp.int32),
+                    "max_count": jnp.zeros((), jnp.int32)}
             pre_surv = jnp.maximum(
                 pre_surv, jnp.maximum(jnp.max(cnt_n[1::8]),
                                       jnp.max(cnt_f[1::8])))

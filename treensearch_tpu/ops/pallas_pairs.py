@@ -34,8 +34,10 @@ Measured v5e facts that still shape the layout (benchmarks/, 2026-08-16):
   - ``cumsum``/``sort``/dynamic gathers do not lower in Mosaic -> the
     compaction is a Hillis-Steele prefix + power-of-two shift network.
 
-Indices and set ids ride as int32 BIT PATTERNS in float32 lanes
-(``lax.bitcast_convert_type``), so exactness does not depend on n < 2^24.
+Record arrays are INT32-typed: coordinates ride as f32 bit patterns
+bitcast into ints, indices/set ids as plain ints (exact at any n).  The
+reverse — ints bitcast into f32 lanes — is unsound on TPU: indices
+< 2^23 are f32 denormals and float relayouts flush them to zero.
 
 Two tiers: the narrow kernel (small wcap) handles all tiles but skips
 those whose widest window exceeds it; a "fat" kernel with a large wcap
@@ -66,8 +68,8 @@ FAT_COL = 127   # descriptor column: 1 = tile needs the fat kernel
 SENTINEL = 1.0e18  # padding-slot coordinate; (SENTINEL-x)^2 -> inf > r^2
 
 
-def _i32(x):
-    return jax.lax.bitcast_convert_type(x, jnp.int32)
+def _f32(x):
+    return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
 def _cumsum_sub(x: jnp.ndarray, m: int) -> jnp.ndarray:
@@ -194,12 +196,15 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                     rec_ref.at[pl.ds(desc_ref[row, w] // pack, wrows)],
                     win.at[w], sems.at[w]).start()
 
-            qx = qt_ref[F_X:F_X + 1, :]
-            qy = qt_ref[F_Y:F_Y + 1, :]
-            qz = qt_ref[F_Z:F_Z + 1, :]
-            q_orig = _i32(qt_ref[F_ORIG:F_ORIG + 1, :])
-            q_set = _i32(qt_ref[F_SET:F_SET + 1, :])
-            my_r2 = qt_ref[F_R:F_R + 1, :] ** 2
+            # record arrays are int32-typed (coords as f32 bit patterns):
+            # integer moves never flush the denormal patterns small
+            # indices would have as floats (see ops/fastpath.py)
+            qx = _f32(qt_ref[F_X:F_X + 1, :])
+            qy = _f32(qt_ref[F_Y:F_Y + 1, :])
+            qz = _f32(qt_ref[F_Z:F_Z + 1, :])
+            q_orig = qt_ref[F_ORIG:F_ORIG + 1, :]
+            q_set = qt_ref[F_SET:F_SET + 1, :]
+            my_r2 = _f32(qt_ref[F_R:F_R + 1, :]) ** 2
 
             sub_r = jax.lax.broadcasted_iota(jnp.int32, (wrows, TILE), 0)
 
@@ -225,10 +230,10 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                         all_ws = []
                     for f in range(pack):
                         o = f * lpp
-                        wx = win[w, :, o + F_X:o + F_X + 1]
-                        wy = win[w, :, o + F_Y:o + F_Y + 1]
-                        wz = win[w, :, o + F_Z:o + F_Z + 1]
-                        wo = _i32(win[w, :, o + F_ORIG:o + F_ORIG + 1])
+                        wx = _f32(win[w, :, o + F_X:o + F_X + 1])
+                        wy = _f32(win[w, :, o + F_Y:o + F_Y + 1])
+                        wz = _f32(win[w, :, o + F_Z:o + F_Z + 1])
+                        wo = win[w, :, o + F_ORIG:o + F_ORIG + 1]
 
                         ddx = wx - qx
                         ddy = wy - qy
@@ -237,7 +242,7 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                         if variable:
                             crit = d2 <= my_r2
                             if symmetric:
-                                wr = win[w, :, o + F_R:o + F_R + 1]
+                                wr = _f32(win[w, :, o + F_R:o + F_R + 1])
                                 crit = crit | (d2 <= wr * wr)
                         else:
                             crit = d2 <= r2_fixed
@@ -255,8 +260,8 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                         # vectors whose lane offsets differ
                         all_vals.append(wo * ones_t)
                         if multi_set:
-                            all_ws.append(_i32(
-                                win[w, :, o + F_SET:o + F_SET + 1])
+                            all_ws.append(
+                                win[w, :, o + F_SET:o + F_SET + 1]
                                 * ones_t)
                     if pack == 1:
                         mask_geo, wo_b = masks[0], all_vals[0]
@@ -315,7 +320,7 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                  win, outc, sems)
 
     scratch = [
-        pltpu.VMEM((n_win, wrows, 128), jnp.float32),
+        pltpu.VMEM((n_win, wrows, 128), jnp.int32),
         pltpu.VMEM((n_pairs * m2, TILE), jnp.int32),
         pltpu.SemaphoreType.DMA((n_win,)),
     ]
