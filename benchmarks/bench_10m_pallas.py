@@ -42,7 +42,7 @@ eng.set_all_searches(True)
 # measured-good values (~43 avg neighbors at R=0.0101)
 eng.set_neighbor_cap(int(os.environ.get("NBR", 96)))
 eng.set_cell_size(float(os.environ.get("CELLF", 1.0)) * R)
-eng._pack = 4
+eng._pack = int(os.environ.get("PACK", 4))
 eng._wcap = int(os.environ.get("WCAP", 192))
 eng._pre_cap = int(os.environ.get("PRECAP", 96))
 eng._dense_cap = 1 << 21   # 111^3 padded grid = 1.37M cells

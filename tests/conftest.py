@@ -27,3 +27,16 @@ jax.config.update("jax_platforms", "cpu")
 # across runs cuts repeat suite time by an order of magnitude.
 jax.config.update("jax_compilation_cache_dir", "/tmp/treensearch_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """The XLA CPU backend segfaults in backend_compile after ~45-50
+    in-process compilations of this suite (reproduced deterministically,
+    independent of WHICH tests precede); dropping live executables
+    between modules avoids the pile-up, and the persistent disk cache
+    keeps the re-loads cheap."""
+    yield
+    jax.clear_caches()

@@ -311,11 +311,13 @@ class TreeNSearch:
                     self._dense_cap = min(self._dense_cap * 8, _MAX_DENSE_CAP)
                 else:
                     use_fast = False  # domain too sparse for a dense table
+                sol = None  # release before re-running (10M solutions are GBs)
                 continue
             if use_fast and int(sol.get("tile_overflow", 0)) != 0:
                 # more occupied grid rows than the row-aligned layout's
                 # padded-slot budget; grow and re-trace
                 self._tiles_cap = int(self._tiles_cap * 1.5) + 64
+                sol = None  # release before re-running (10M solutions are GBs)
                 continue
             if use_fast and int(sol["straddle"]) != 0:
                 # a tile spans >= 3 grid rows. The pallas kernel's tile is
@@ -329,6 +331,7 @@ class TreeNSearch:
                     self._tile //= 2
                 else:
                     use_fast = False
+                sol = None  # release before re-running (10M solutions are GBs)
                 continue
             cand_max = int(sol["cand_max"])
             if use_fast and int(sol.get("pallas_used", 0)) != 0:
@@ -339,11 +342,13 @@ class TreeNSearch:
                     self._fat_wcap = max(
                         self._fat_wcap,
                         round_up(int(cand_max * 1.25) + 1, 64))
-                    continue
+                    sol = None  # release before re-running (10M solutions are GBs)
+                continue
                 pre_surv = int(sol.get("pre_surv_max", 0))
                 if pre_surv > self._pre_cap:
                     self._pre_cap = round_up(int(pre_surv * 1.25) + 1, 8)
-                    continue
+                    sol = None  # release before re-running (10M solutions are GBs)
+                continue
             cand_limit = self._wcap if use_fast else self._cand_cap
             if cand_max > cand_limit:
                 grown = round_up(int(cand_max * 1.25) + 1, 64)
@@ -351,12 +356,14 @@ class TreeNSearch:
                     self._wcap = grown
                 else:
                     self._cand_cap = grown
+                sol = None  # release before re-running (10M solutions are GBs)
                 continue
             max_count = max(
                 (int(p["max_count"]) for p in sol["pairs"].values()),
                 default=0)
             if max_count > self._nbr_cap:
                 self._nbr_cap = round_up(int(max_count * 1.25) + 1, 16)
+                sol = None  # release before re-running (10M solutions are GBs)
                 continue
             self._grid_state = state
             return sol

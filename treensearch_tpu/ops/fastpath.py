@@ -82,16 +82,23 @@ class FastKnobs(NamedTuple):
 def materialize_nbrs(pair: dict) -> jnp.ndarray:
     """Per-point padded neighbor rows for one pair's solution.
 
-    The Pallas path keeps neighbor records in their tile layout plus a
-    per-point (tile, lane) pointer (``qpos``) — the TPU analog of the
-    reference's ``solution_ptr`` indirection into per-thread record
-    chunks (``TreeNSearch.cpp:2496-2500``) — so the (n, cap) per-point
-    view is a single gather, done only when a consumer asks for it."""
+    The Pallas path keeps neighbor records in their narrow/fat tile
+    layouts plus a per-point (tile, lane) pointer (``qpos``) — the TPU
+    analog of the reference's ``solution_ptr`` indirection into
+    per-thread record chunks (``TreeNSearch.cpp:2496-2500``) — so the
+    (n, cap) per-point view is a gather, done only when a consumer asks
+    for it.  The two tiers are merged here by per-tile selection (a
+    device-wide scatter merge would copy the multi-GB narrow output)."""
     if "nbrs" in pair:
         return pair["nbrs"]
     qpos = pair["qpos"]
     t_i, lane = qpos // 128, qpos % 128
-    return pair["nbrs_tiles"][t_i, :, lane]
+    nb = pair["nbrs_tiles"][t_i, :, lane]
+    if "nbrs_fat" in pair:
+        fs = pair["fat_slot"][t_i]
+        nb_f = pair["nbrs_fat"][jnp.maximum(fs, 0), :, lane]
+        nb = jnp.where((fs >= 0)[:, None], nb_f, nb)
+    return nb
 
 
 def default_tiles_cap(n: int) -> int:
@@ -284,6 +291,8 @@ def build_and_search_fast(points: jnp.ndarray,
         fat_ids = jnp.full((fat_cap,), tiles_cap, jnp.int32).at[
             jnp.where(fat_mask & (rank <= fat_cap), rank - 1, fat_cap)
         ].set(tile_ids, mode="drop")
+        # tile -> fat slot (-1 = narrow), for select-at-gather merging
+        fat_slot = jnp.where(fat_mask & (rank <= fat_cap), rank - 1, -1)
 
         nt8 = -(-(tiles_cap + 1) // 8) * 8  # +1 dummy tile: padded fat ids
         desc = jnp.zeros((nt8, DESC_W), jnp.int32)
@@ -367,27 +376,32 @@ def build_and_search_fast(points: jnp.ndarray,
         for p, (si, sj) in enumerate(cfg.active_pairs):
             cnt_n, nbr_n = outs_n[2 * p], outs_n[2 * p + 1]
             cnt_f, nbr_f = outs_f[2 * p], outs_f[2 * p + 1]
-            # merge tiers: scatter fat rows over the narrow results;
-            # padded fat ids equal tiles_cap = out of bounds -> dropped
-            # (no dummy-row concat: at 10M that copy alone is >5 GB)
-            counts_all = cnt_n[0::8].at[fat_ids].set(cnt_f[0::8],
-                                                     mode="drop")
-            nbrs_all = nbr_n.reshape(tiles_cap, k8, PTILE).at[
-                fat_ids].set(nbr_f.reshape(fat_cap, k8, PTILE),
-                             mode="drop")
+            # merge tiers by SELECT at gather time: a scatter of the fat
+            # rows over the narrow output would copy the whole multi-GB
+            # narrow array (measured OOM at 10M)
+            counts_all = cnt_n[0::8]
+            counts_fat = cnt_f[0::8]
             name = _pair_name(si, sj)
             n_i = cfg.set_sizes[si]
             if n_i > 0:
                 rows_sorted = jax.lax.dynamic_slice_in_dim(
                     inv_perm, cfg.set_offsets[si], n_i)
                 ppos = pp[rows_sorted]
-                counts = counts_all[ppos // PTILE, ppos % PTILE]
+                t_i, lane = ppos // PTILE, ppos % PTILE
+                fs = fat_slot[t_i]
+                counts = jnp.where(
+                    fs >= 0,
+                    counts_fat[jnp.maximum(fs, 0), lane],
+                    counts_all[t_i, lane])
                 max_count = jnp.max(counts)
                 # neighbor rows stay in tile layout + per-point pointer
                 # (see materialize_nbrs); at 10M the per-point gather
                 # alone is ~4 GB, so it runs only on demand
-                pairs[name] = {"counts": counts, "max_count": max_count,
-                               "nbrs_tiles": nbrs_all, "qpos": ppos}
+                pairs[name] = {
+                    "counts": counts, "max_count": max_count,
+                    "nbrs_tiles": nbr_n.reshape(tiles_cap, k8, PTILE),
+                    "nbrs_fat": nbr_f.reshape(fat_cap, k8, PTILE),
+                    "fat_slot": fat_slot, "qpos": ppos}
             else:
                 pairs[name] = {
                     "counts": jnp.zeros((0,), jnp.int32),

@@ -52,11 +52,17 @@ active pairs (VMEM scratch); larger matrices use the XLA fast path.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# dev A/B toggles (read at trace time; benchmarks only)
+_USE_MXU_PREFIX = os.environ.get("TNS_MXU_PREFIX", "1") == "1"
+_USE_PACKED_CARRY = os.environ.get("TNS_PACKED_CARRY", "1") == "1"
 
 F_X, F_Y, F_Z, F_R, F_ORIG, F_SET = 0, 1, 2, 3, 4, 5
 N_FIELDS = 8    # padded to 8 record columns
@@ -112,11 +118,12 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
     m, q = mask.shape
     sub = jax.lax.broadcasted_iota(jnp.int32, (m, q), 0)
     if p is None:
-        p = _mask_prefix_mxu(mask)
+        p = _mask_prefix_mxu(mask) if _USE_MXU_PREFIX else \
+            _cumsum_sub(mask.astype(jnp.int32), m)
     keep = mask & (p <= out_w)
 
     sh = 31 - (m + 1).bit_length()
-    if 0 <= val_bound <= (1 << sh) - 1:
+    if _USE_PACKED_CARRY and 0 <= val_bound <= (1 << sh) - 1:
         # packed carry: c = (displacement+1) << sh | value; 0 = invalid
         e = jnp.where(keep, sub - (p - 1) + 1, 0)
         c = jnp.where(keep, (e << sh) | vals, 0)
@@ -275,8 +282,13 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                         pm = mask_geo
                         if multi_set:
                             pm = pm & (q_set == si) & (ws == sj)
-                        prefix = _mask_prefix_mxu(pm)
-                        wsum = prefix[wcap - 1:wcap, :]
+                        if _USE_MXU_PREFIX:
+                            prefix = _mask_prefix_mxu(pm)
+                            wsum = prefix[wcap - 1:wcap, :]
+                        else:
+                            prefix = None
+                            wsum = jnp.sum(pm.astype(jnp.int32), axis=0,
+                                           keepdims=True)
                         cref = out_refs[2 * p]
                         cref[0:1, :] = cref[0:1, :] + wsum
                         # row 1: max per-window survivors (pre_cap regrow)
