@@ -45,6 +45,9 @@ from .ops.pipeline import build_and_search_jit
 from .ops.zsort import apply_order, zsort_order
 from .utils.keys import MAX_CELLS_PER_DIM
 
+import os as _os
+
+_DEBUG_REGROW = _os.environ.get("TNS_DEBUG_REGROW", "") == "1"
 _DEFAULT_NBR_CAP = 80
 _DEFAULT_CAND_CAP = 512
 _DEFAULT_CHUNK = 1024
@@ -300,6 +303,20 @@ class TreeNSearch:
                 sol, state = build_and_search_jit(
                     points, radii, jnp.float32(sr), jnp.float32(cell),
                     self._grid_state, cfg)
+            if _DEBUG_REGROW:
+                print("[regrow] flags:", {
+                    k: int(sol[k]) for k in
+                    ("error", "dense_overflow", "tile_overflow",
+                     "straddle", "cand_max", "pallas_used")
+                    if k in sol},
+                    {"pre_surv": int(sol.get("pre_surv_max", -1)),
+                     "max_count": max((int(p["max_count"])
+                                       for p in sol["pairs"].values()),
+                                      default=0),
+                     "wcap": self._wcap, "fat": (self._fat_wcap,
+                                                self._fat_cap),
+                     "pre": self._pre_cap, "nbr": self._nbr_cap,
+                     "tiles": self._tiles_cap}, flush=True)
             if int(sol["error"]) != 0:
                 self._grid_state = fresh_state()
                 raise RuntimeError(
@@ -341,14 +358,14 @@ class TreeNSearch:
                     self._fat_cap *= 2
                     self._fat_wcap = max(
                         self._fat_wcap,
-                        round_up(int(cand_max * 1.25) + 1, 64))
-                    sol = None  # release before re-running (10M solutions are GBs)
-                continue
+                        round_up(int(cand_max * 1.25) + 1, 128))
+                    sol = None  # release before re-running (GBs at 10M)
+                    continue
                 pre_surv = int(sol.get("pre_surv_max", 0))
                 if pre_surv > self._pre_cap:
                     self._pre_cap = round_up(int(pre_surv * 1.25) + 1, 8)
-                    sol = None  # release before re-running (10M solutions are GBs)
-                continue
+                    sol = None  # release before re-running (GBs at 10M)
+                    continue
             cand_limit = self._wcap if use_fast else self._cand_cap
             if cand_max > cand_limit:
                 grown = round_up(int(cand_max * 1.25) + 1, 64)

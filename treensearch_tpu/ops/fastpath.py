@@ -79,6 +79,20 @@ class FastKnobs(NamedTuple):
     #                            2 = no merge either (stage attribution)
 
 
+@jax.jit
+def _to_slot_major(tiles_arr):
+    t, k8, ptile = tiles_arr.shape
+    return jnp.transpose(tiles_arr, (0, 2, 1)).reshape(t * ptile, k8)
+
+
+@jax.jit
+def _gather_rows(flat_n, flat_f, fat_slot, qpos):
+    nb = flat_n[qpos]
+    fs = fat_slot[qpos // 128]
+    nb_f = flat_f[jnp.maximum(fs, 0) * 128 + qpos % 128]
+    return jnp.where((fs >= 0)[:, None], nb_f, nb)
+
+
 def materialize_nbrs(pair: dict) -> jnp.ndarray:
     """Per-point padded neighbor rows for one pair's solution.
 
@@ -86,19 +100,26 @@ def materialize_nbrs(pair: dict) -> jnp.ndarray:
     layouts plus a per-point (tile, lane) pointer (``qpos``) — the TPU
     analog of the reference's ``solution_ptr`` indirection into
     per-thread record chunks (``TreeNSearch.cpp:2496-2500``) — so the
-    (n, cap) per-point view is a gather, done only when a consumer asks
-    for it.  The two tiers are merged here by per-tile selection (a
-    device-wide scatter merge would copy the multi-GB narrow output)."""
+    (n, cap) per-point view is built only when a consumer asks for it.
+
+    Memory discipline (the tile layout is ~5 GB at 10M points): the tile
+    arrays are transposed to slot-major ONCE and then RELEASED from the
+    solution dict before the row gathers run in host-chunked slices, so
+    the device never holds more than one full-size copy plus the result.
+    """
     if "nbrs" in pair:
         return pair["nbrs"]
+    flat_n = jax.block_until_ready(_to_slot_major(pair.pop("nbrs_tiles")))
+    flat_f = _to_slot_major(pair.pop("nbrs_fat"))
+    fat_slot = pair.pop("fat_slot")
     qpos = pair["qpos"]
-    t_i, lane = qpos // 128, qpos % 128
-    nb = pair["nbrs_tiles"][t_i, :, lane]
-    if "nbrs_fat" in pair:
-        fs = pair["fat_slot"][t_i]
-        nb_f = pair["nbrs_fat"][jnp.maximum(fs, 0), :, lane]
-        nb = jnp.where((fs >= 0)[:, None], nb_f, nb)
-    return nb
+    n = qpos.shape[0]
+    chunk = 1 << 21
+    parts = [_gather_rows(flat_n, flat_f, fat_slot, qpos[a:a + chunk])
+             for a in range(0, n, chunk)]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    pair["nbrs"] = out
+    return out
 
 
 def default_tiles_cap(n: int) -> int:
@@ -207,10 +228,14 @@ def build_and_search_fast(points: jnp.ndarray,
         from .pallas_pairs import (DESC_W, FAT_COL, LENS_OFF, N_FIELDS,
                                    SENTINEL, TILE as PTILE, make_pairs_call)
 
+        from ..config import round_up
+
         n_win = n_ranges  # one window per (di, dj): cell-run tiles
-        fat_wcap = knobs.fat_wcap
-        fat_cap = knobs.fat_cap
         pack = knobs.pack
+        # window caps must tile the packed record rows (8 sublanes/vreg)
+        wcap = round_up(wcap, 8 * pack)
+        fat_wcap = round_up(knobs.fat_wcap, 8 * pack)
+        fat_cap = knobs.fat_cap
         tiles_cap = knobs.tiles_cap if knobs.tiles_cap > 0 else \
             default_tiles_cap(n)
         NPAD = tiles_cap * PTILE
