@@ -16,7 +16,7 @@ def ensure_built() -> str | None:
                 and os.path.getmtime(LIB) >= os.path.getmtime(SRC)):
             return LIB
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+            ["g++", "-O3", "-march=native", "-ffp-contract=off", "-std=c++17", "-shared", "-fPIC",
              "-pthread", SRC, "-o", LIB],
             check=True, capture_output=True)
         return LIB
