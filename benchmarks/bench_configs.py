@@ -34,7 +34,8 @@ def steady_state_ms(eng, pts, radii=None, iters=10):
             sol, st = step(st, p, r)
             name = next(iter(sol["pairs"]))
             pp = sol["pairs"][name]
-            return st, acc + pp["counts"][0] + jnp.sum(pp["nbrs"],
+            nb = pp["nbrs"] if "nbrs" in pp else pp["nbrs_tiles"]
+            return st, acc + pp["counts"][0] + jnp.sum(nb[::17],
                                                        dtype=jnp.int32)
         return jax.lax.fori_loop(0, iters, body, (st, jnp.int32(0)))
 
@@ -95,10 +96,7 @@ b = eng.add_point_set(boundary)
 eng.set_search_radius(r)
 eng.set_active_search(f, f, True)
 eng.set_active_search(f, b, True)
-pts_all = np.concatenate([fluid, boundary])
-ms = steady_state_ms(eng, None if False else fluid, None) \
-    if False else None
-# multi-set path: time via repeated run() on device arrays through the API
+# multi-set path: time via the raw step fn on device arrays
 eng.run()
 step, st0 = eng.make_step_fn()
 pf, pb = jnp.asarray(fluid), jnp.asarray(boundary)
@@ -110,7 +108,8 @@ def loop3(p, st):
         st, acc = carry
         sol, st = step(st, p)
         pp = sol["pairs"]["0-0"]
-        return st, acc + pp["counts"][0] + jnp.sum(pp["nbrs"],
+        nb = pp["nbrs"] if "nbrs" in pp else pp["nbrs_tiles"]
+        return st, acc + pp["counts"][0] + jnp.sum(nb[::17],
                                                    dtype=jnp.int32)
     return jax.lax.fori_loop(0, 10, body, (st, jnp.int32(0)))
 
@@ -121,7 +120,7 @@ st, acc = loop3(pcat, st0)
 int(acc)
 ms = (time.perf_counter() - t0) / 10 * 1e3
 report("fluid_boundary_step", ms, total_pairs(eng),
-       {"note": "asymmetric active matrix, XLA multi-set path"})
+       {"note": "asymmetric active matrix, pallas multi-pair path"})
 
 # --- config 4: variable radii, symmetric
 n4 = 250_000

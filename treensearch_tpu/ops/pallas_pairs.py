@@ -60,9 +60,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# dev A/B toggles (read at trace time; benchmarks only)
+# dev A/B toggles (read at trace time); measured at 1M on v5e
+# (benchmarks/ab_1m.py, 2026-08-17): MXU prefix -30 ms/step, packed
+# carry +13 ms/step (the carry-plane bookkeeping costs more than the
+# saved rotate), so MXU on / packed off by default.
 _USE_MXU_PREFIX = os.environ.get("TNS_MXU_PREFIX", "1") == "1"
-_USE_PACKED_CARRY = os.environ.get("TNS_PACKED_CARRY", "1") == "1"
+_USE_PACKED_CARRY = os.environ.get("TNS_PACKED_CARRY", "0") == "1"
 
 F_X, F_Y, F_Z, F_R, F_ORIG, F_SET = 0, 1, 2, 3, 4, 5
 N_FIELDS = 8    # padded to 8 record columns
