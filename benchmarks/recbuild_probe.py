@@ -71,6 +71,29 @@ def c2(pts):
     return q_t[:, ::4096].sum() + rec_pad[::4096, 0].sum()
 
 
+def c4(pts):
+    rec8 = rec8_of(pts)
+    tail = jnp.broadcast_to(sent, (SLACK, 8))
+    rec_pad = jnp.pad(jnp.concatenate([rec8, tail]),
+                      ((0, 0), (0, LPP - 8))).reshape(-1, 128)
+    return rec_pad[::4096, 0].sum()
+
+
+def c5(pts):
+    rec8 = rec8_of(pts)
+    q8 = jnp.broadcast_to(sent, (NPAD + 128, 8)).at[pp].set(rec8)
+    return q8[::4096, 0].sum()
+
+
+def c6(pts):
+    rec8 = rec8_of(pts)
+    gidx = jnp.full((NPAD + 128,), N, jnp.int32).at[pp].set(
+        jnp.arange(N, dtype=jnp.int32))
+    rec8x = jnp.concatenate([rec8, jnp.broadcast_to(sent, (1, 8))])
+    q8 = rec8x[jnp.minimum(gidx, N)]
+    return q8[::4096, 0].sum()
+
+
 def c3(pts):
     rec8 = rec8_of(pts)
     tail = jnp.broadcast_to(sent, (SLACK, 8))
@@ -93,6 +116,7 @@ def loop(f):
     return g
 
 
-timed("C1 padded-scatter+T+lanepad", loop(c1), pts_s)
-timed("C2 unpadded rec + q row-scatter+T", loop(c2), pts_s)
-timed("C3 unpadded rec + q 8x1D scatters", loop(c3), pts_s)
+timed("C4 rec only (concat+pad+reshape)", loop(c4), pts_s)
+timed("C5 rec + q8 row-scatter (no T)", loop(c5), pts_s)
+timed("C6 rec + q8 via idx-scatter+row-gather", loop(c6), pts_s)
+timed("C2 full (rec + scatter + T)", loop(c2), pts_s)

@@ -364,12 +364,15 @@ def build_and_search_fast(points: jnp.ndarray,
                                                     (tail, N_FIELDS))]),
             ((0, 0), (0, lpp - N_FIELDS)))
         rec_pad = rec_lp.reshape(-1, 128)
-        # queries DO need lane alignment: scatter into the row-aligned
-        # layout (one extra all-sentinel tile: the fat tier's padded ids
-        # point at dummy tile `tiles_cap`)
-        q8_pad = jnp.broadcast_to(sent, (NPAD + PTILE, N_FIELDS)
-                                  ).at[pp].set(rec8)
-        q_t = q8_pad.T                   # (8, NPAD+128)
+        # queries DO need lane alignment: build the row-aligned layout as
+        # a 1-D index scatter + ROW GATHER — a direct (n, 8) row scatter
+        # runs on the scatter engine at ~10 GB/s and costs ~45 ms/step at
+        # 1M (benchmarks/recbuild_probe.py); this formulation is ~3 ms.
+        # (one extra all-sentinel tile: the fat tier's padded ids point
+        # at dummy tile `tiles_cap`)
+        gidx = jnp.full((NPAD + PTILE,), n, jnp.int32).at[pp].set(iota)
+        rec8x = jnp.concatenate([rec8, sent[None]])
+        q_t = rec8x[jnp.minimum(gidx, n)].T   # (8, NPAD+128)
 
         params = jnp.zeros((8, DESC_W), jnp.float32).at[0, 0].set(r2_fixed)
 
