@@ -47,7 +47,7 @@ total = int(np.asarray(eng.get_neighbors(0, 0)[0]).sum())
 stamp(f"settled caps; total={total} fat=({eng._fat_wcap},{eng._fat_cap})")
 pts_dev = jnp.asarray(pts_np)
 
-for skip in (2, 1, 0):
+for skip in (3, 2):
     eng._last_knob_skip = skip
     # thread the dev knob through a custom step fn
     import treensearch_tpu.ops.fastpath as fp

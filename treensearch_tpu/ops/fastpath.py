@@ -43,6 +43,8 @@ box), the host falls back to ``ops/pipeline.py``.
 
 from __future__ import annotations
 
+import os
+
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -236,8 +238,12 @@ def build_and_search_fast(points: jnp.ndarray,
         wcap = round_up(wcap, 8 * pack)
         fat_wcap = round_up(knobs.fat_wcap, 8 * pack)
         fat_cap = knobs.fat_cap
-        tiles_cap = knobs.tiles_cap if knobs.tiles_cap > 0 else \
-            default_tiles_cap(n)
+        # narrow-tier tiles per grid step (amortizes the per-step pipeline
+        # overhead, benchmarks/split_v3.py skip=3; G=8 over-unrolls the
+        # kernel body — 2 measured best at 1M)
+        TPS = int(os.environ.get("TNS_TPS", "2"))
+        tiles_cap = round_up(knobs.tiles_cap if knobs.tiles_cap > 0 else
+                             default_tiles_cap(n), TPS)
         NPAD = tiles_cap * PTILE
 
         # ---- row-aligned padded layout (see ops/pallas_pairs.py) -------
@@ -384,7 +390,8 @@ def build_and_search_fast(points: jnp.ndarray,
                                  set_offsets=cfg.set_offsets,
                                  fat_tier=False, interpret=knobs.interpret,
                                  pack=pack, skip_stage=knobs.skip_stage,
-                                 val_bound=max(cfg.set_sizes))
+                                 val_bound=max(cfg.set_sizes),
+                                 tiles_per_step=TPS)
         outs_n = narrow(tiles_cap, desc, params, q_t, rec_pad)
         fat = make_pairs_call(fat_wcap, pre_cap, k8, n_win,
                               cfg.variable, cfg.symmetric,

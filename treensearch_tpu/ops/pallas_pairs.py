@@ -161,7 +161,7 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                     active_pairs=((0, 0),), set_offsets=(0,),
                     fat_tier: bool = False, interpret: bool = False,
                     pack: int = 1, skip_stage: int = 0,
-                    val_bound: int = 1 << 30):
+                    val_bound: int = 1 << 30, tiles_per_step: int = 1):
     """Build a pallas_call for one tier.
 
     Narrow tier (``fat_tier=False``): grid over all tiles; tiles whose
@@ -192,12 +192,18 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
     lpp = 128 // pack          # lanes per point
     wrows = wcap // pack       # DMA rows per window
 
-    def body(desc_ref, row, params_ref, qt_ref, rec_ref, out_refs,
-             win, outc, sems):
+    def body(desc_ref, row, params_ref, qt_ref, qo, rec_ref, out_refs,
+             co, no, win, outc, sems):
+        # qo/co/no: lane offset into the query block and row offsets into
+        # the counts/nbrs output blocks for this tile (several tiles are
+        # processed per grid step to amortize the per-step pipeline
+        # overhead, measured ~5.6 us/step at 1M)
         r2_fixed = params_ref[0, 0]
 
         is_fat = desc_ref[row, FAT_COL] != 0
         run = is_fat if fat_tier else jnp.logical_not(is_fat)
+        if skip_stage >= 3:     # dev: measure the pure grid/pipeline floor
+            run = jnp.bool_(False)
 
         @pl.when(run)
         def _():
@@ -209,12 +215,12 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
             # record arrays are int32-typed (coords as f32 bit patterns):
             # integer moves never flush the denormal patterns small
             # indices would have as floats (see ops/fastpath.py)
-            qx = _f32(qt_ref[F_X:F_X + 1, :])
-            qy = _f32(qt_ref[F_Y:F_Y + 1, :])
-            qz = _f32(qt_ref[F_Z:F_Z + 1, :])
-            q_orig = qt_ref[F_ORIG:F_ORIG + 1, :]
-            q_set = qt_ref[F_SET:F_SET + 1, :]
-            my_r2 = _f32(qt_ref[F_R:F_R + 1, :]) ** 2
+            qx = _f32(qt_ref[F_X:F_X + 1, qo:qo + TILE])
+            qy = _f32(qt_ref[F_Y:F_Y + 1, qo:qo + TILE])
+            qz = _f32(qt_ref[F_Z:F_Z + 1, qo:qo + TILE])
+            q_orig = qt_ref[F_ORIG:F_ORIG + 1, qo:qo + TILE]
+            q_set = qt_ref[F_SET:F_SET + 1, qo:qo + TILE]
+            my_r2 = _f32(qt_ref[F_R:F_R + 1, qo:qo + TILE]) ** 2
 
             sub_r = jax.lax.broadcasted_iota(jnp.int32, (wrows, TILE), 0)
 
@@ -293,9 +299,10 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                             wsum = jnp.sum(pm.astype(jnp.int32), axis=0,
                                            keepdims=True)
                         cref = out_refs[2 * p]
-                        cref[0:1, :] = cref[0:1, :] + wsum
+                        cref[co:co + 1, :] = cref[co:co + 1, :] + wsum
                         # row 1: max per-window survivors (pre_cap regrow)
-                        cref[1:2, :] = jnp.maximum(cref[1:2, :], wsum)
+                        cref[co + 1:co + 2, :] = jnp.maximum(
+                            cref[co + 1:co + 2, :], wsum)
                         if skip_stage < 1:  # dev knob: stage attribution
                             outc[p * m2 + w * pre_cap:
                                  p * m2 + (w + 1) * pre_cap, :] = \
@@ -307,13 +314,15 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                 for p in range(n_pairs):
                     merged = outc[p * m2:(p + 1) * m2, :]
                     k_out = min(nbr_cap, m2)  # block rows beyond stay -1
-                    out_refs[2 * p + 1][:k_out, :] = _compact_sub(
+                    out_refs[2 * p + 1][no:no + k_out, :] = _compact_sub(
                         merged >= 0, merged, k_out, val_bound=val_bound)
+
+    G = 1 if fat_tier else tiles_per_step
 
     def _init_outs(out_refs):
         for p in range(n_pairs):
-            out_refs[2 * p][:, :] = jnp.zeros((8, TILE), jnp.int32)
-            out_refs[2 * p + 1][:, :] = jnp.full((nbr_cap, TILE), -1,
+            out_refs[2 * p][:, :] = jnp.zeros((8 * G, TILE), jnp.int32)
+            out_refs[2 * p + 1][:, :] = jnp.full((nbr_cap * G, TILE), -1,
                                                  jnp.int32)
 
     if fat_tier:
@@ -323,16 +332,26 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
             win, outc, sems = rest[2 * n_pairs:]
             row = ids_ref[pl.program_id(0)] % 8
             _init_outs(out_refs)
-            body(desc_ref, row, params_ref, qt_ref, rec_ref, out_refs,
-                 win, outc, sems)
+            body(desc_ref, row, params_ref, qt_ref, 0, rec_ref, out_refs,
+                 0, 0, win, outc, sems)
     else:
+        assert G in (1, 2, 4, 8)
+
         def kernel(desc_ref, params_ref, qt_ref, rec_ref, *rest):
             out_refs = rest[:2 * n_pairs]
             win, outc, sems = rest[2 * n_pairs:]
-            row = pl.program_id(0) % 8
             _init_outs(out_refs)
-            body(desc_ref, row, params_ref, qt_ref, rec_ref, out_refs,
-                 win, outc, sems)
+            if G == 8:
+                for g in range(8):
+                    body(desc_ref, g, params_ref, qt_ref, g * TILE,
+                         rec_ref, out_refs, g * 8, g * nbr_cap,
+                         win, outc, sems)
+            else:
+                base = (pl.program_id(0) % (8 // G)) * G
+                for g in range(G):
+                    body(desc_ref, base + g, params_ref, qt_ref, g * TILE,
+                         rec_ref, out_refs, g * 8, g * nbr_cap,
+                         win, outc, sems)
 
     scratch = [
         pltpu.VMEM((n_win, wrows, 128), jnp.int32),
@@ -340,11 +359,14 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
         pltpu.SemaphoreType.DMA((n_win,)),
     ]
 
-    def call(n_grid, desc, params, q_t, rec, ids=None):
+    def call(n_tiles, desc, params, q_t, rec, ids=None):
+        # n_tiles tiles total; the narrow tier runs G of them per grid step
+        assert fat_tier or n_tiles % G == 0
+        n_grid = n_tiles if fat_tier else n_tiles // G
         out_shape = [
-            # counts ride in row 0 of an 8-row block (Mosaic block tiling)
-            jax.ShapeDtypeStruct((n_grid * 8, TILE), jnp.int32),
-            jax.ShapeDtypeStruct((n_grid * nbr_cap, TILE), jnp.int32),
+            # counts ride in rows 0/1 of an 8-row group per tile
+            jax.ShapeDtypeStruct((n_tiles * 8, TILE), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles * nbr_cap, TILE), jnp.int32),
         ] * n_pairs
         if fat_tier:
             grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -378,18 +400,19 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
             num_scalar_prefetch=0,
             grid=(n_grid,),
             in_specs=[
-                pl.BlockSpec((8, DESC_W), lambda t: (t // 8, 0),
+                pl.BlockSpec((8, DESC_W), lambda t: (t // (8 // G), 0)
+                             if G < 8 else (t, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((8, DESC_W), lambda t: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((N_FIELDS, TILE), lambda t: (0, t),
+                pl.BlockSpec((N_FIELDS, G * TILE), lambda t: (0, t),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[
-                pl.BlockSpec((8, TILE), lambda t: (t, 0),
+                pl.BlockSpec((8 * G, TILE), lambda t: (t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((nbr_cap, TILE), lambda t: (t, 0),
+                pl.BlockSpec((nbr_cap * G, TILE), lambda t: (t, 0),
                              memory_space=pltpu.VMEM),
             ] * n_pairs,
             scratch_shapes=scratch,
