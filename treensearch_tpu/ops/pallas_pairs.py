@@ -322,8 +322,15 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
     def _init_outs(out_refs):
         for p in range(n_pairs):
             out_refs[2 * p][:, :] = jnp.zeros((8 * G, TILE), jnp.int32)
-            out_refs[2 * p + 1][:, :] = jnp.full((nbr_cap * G, TILE), -1,
-                                                 jnp.int32)
+            # the nbr block needs no -1 fill on the fast path: the merge
+            # writes rows [0, min(nbr_cap, m2)) for every processed tile
+            # (counts <= m2 by the pre_cap regrow contract) and skipped
+            # tiles' rows are never consumed (tier selection at gather);
+            # attribution modes skip the merge, so fill then for
+            # determinism
+            if skip_stage >= 1 or min(nbr_cap, m2) < nbr_cap:
+                out_refs[2 * p + 1][:, :] = jnp.full(
+                    (nbr_cap * G, TILE), -1, jnp.int32)
 
     if fat_tier:
         def kernel(ids_ref, desc_ref, params_ref, qt_ref, rec_ref,
