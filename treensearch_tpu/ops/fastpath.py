@@ -15,30 +15,31 @@ Design (cf. SURVEY.md §7 "TPU-native mapping"):
 
   1. One *dense* cell-start table over the padded grid replaces all
      searching: ``table[lin]`` = index of the first sorted point in cell
-     ``lin``, empty cells backfilled with the next occupied cell's start
-     (reverse cumulative min).  A stencil range is then two gathers.
-     The grid is padded by the stencil half-width W on every side so
-     boundary cells need no clamping and out-of-range stencil rows read
-     empty border cells (the role of the reference octree's ghost cells,
+     ``lin``, empty cells backfilled with the next occupied cell's start.
+     A stencil range is then two gathers.  The grid is padded by the
+     stencil half-width W on every side so boundary cells need no
+     clamping (the role of the reference octree's ghost cells,
      ``TreeNSearch.cpp:1211-1220``, re-imagined as table padding).
   2. Points are sorted by the *linear* padded cell id (single int32 key,
      row-major), so each stencil (di, dj) row is one contiguous range.
-  3. Queries are processed in tiles of TILE consecutive sorted points.
-     Because the shifted queries are monotone in sort order, the union of
-     a tile's ranges per (di, dj) is exactly [start(first point),
-     end(last point)] — 2 gathers per tile per stencil row.  The tile
-     loads each window once as a contiguous dynamic slice (the role of
-     the reference's per-leaf gather, ``_prepare_brute_force_simd``,
-     ``TreeNSearch.cpp:2161-2399``) and tests all tile points against it
-     on the VPU: zero per-candidate gathers.
-  4. Emission compacts masked candidates into padded-CSR rows with the
-     log-shift network (``utils/compact.py``) — the TPU equivalent of the
-     reference's AVX2 LUT compaction (``TreeNSearch.cpp:2486-2492``).
+  3. The PALLAS path (the throughput engine; see ops/pallas_pairs.py)
+     lays queries out ROW-ALIGNED — every occupied grid row padded to a
+     multiple of 128 slots — so each 128-query tile sits in one grid row
+     and each (di, dj) maps to exactly one contiguous, provably disjoint
+     candidate window; window descriptors (start/len per window) are
+     computed here and DMA'd by the kernel.  In variable mode, per-row /
+     per-tile max radii shrink each tile's reach (the reference's
+     per-node ghost width, ``TreeNSearch.cpp:1457-1466``).
+  4. The XLA tile path (fallback for sparse domains / many pairs /
+     CPU) processes tiles of consecutive sorted points against shared
+     two-subwindow ranges and compacts with ``utils/compact.py`` — the
+     TPU equivalent of the reference's AVX2 LUT compaction
+     (``TreeNSearch.cpp:2486-2492``).
 
-Static caps (dense table size, window width, neighbor cap) carry overflow
-flags; the host grows them and re-runs (recompile-on-overflow).  When the
-domain is too sparse for a dense table (points on a thin surface in a huge
-box), the host falls back to ``ops/pipeline.py``.
+Static caps (dense table size, window caps, fat-tile list, tile slots,
+neighbor cap) carry overflow flags; the host grows them and re-runs
+(recompile-on-overflow).  When the domain is too sparse for a dense
+table, the host falls back to ``ops/pipeline.py``.
 """
 
 from __future__ import annotations
