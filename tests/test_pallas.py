@@ -82,8 +82,11 @@ def test_pallas_kernel_oracle_parity(variable):
     w = 2 if variable else 1
     cfg = SearchConfig((n,), ((0, 0),), variable, variable, w,
                        1024, 512, 96)
+    # small fat/tile caps: the interpreter executes every grid step in
+    # Python, so the defaults (fat_cap=1024) would cost minutes per call
     knobs = FastKnobs(wcap=256, dense_cap=1 << 14, use_pallas=True,
-                      pre_cap=96, interpret=True)
+                      pre_cap=96, interpret=True, fat_cap=16,
+                      tiles_cap=128)
     sol = _run_fast(pts_np, rad_np, r, cell, cfg, knobs)
     assert int(sol["pairs"]["0-0"]["max_count"]) <= 96
 
@@ -105,7 +108,8 @@ def test_pallas_multi_pair_asymmetric_matrix():
     pairs = ((0, 0), (0, 1), (1, 0))
     cfg = SearchConfig((n0, n1), pairs, False, False, 1, 1024, 512, 96)
     knobs = FastKnobs(wcap=256, dense_cap=1 << 14, use_pallas=True,
-                      pre_cap=96, interpret=True)
+                      pre_cap=96, interpret=True, fat_cap=16,
+                      tiles_cap=96)
     pts = np.concatenate([p0, p1])
     sol = _run_fast(pts, None, r, 1.5 * r, cfg, knobs)
 
@@ -131,9 +135,9 @@ def test_pallas_fat_tier_exact():
     n = pts.shape[0]
     cfg = SearchConfig((n,), ((0, 0),), False, False, 1, 1024, 512, 512)
     # wcap deliberately below the cluster's window width -> fat tier
-    knobs = FastKnobs(wcap=64, fat_wcap=1024, fat_cap=512,
+    knobs = FastKnobs(wcap=64, fat_wcap=1024, fat_cap=64,
                       dense_cap=1 << 14, use_pallas=True, pre_cap=448,
-                      interpret=True)
+                      interpret=True, tiles_cap=112)
     sol = _run_fast(pts, None, r, 1.5 * r, cfg, knobs)
     assert int(sol["cand_max"]) == 0  # fat tier absorbed the wide windows
 
@@ -152,7 +156,8 @@ def test_pallas_tile_overflow_flag():
     pts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     cfg = SearchConfig((n,), ((0, 0),), False, False, 1, 1024, 512, 96)
     knobs = FastKnobs(wcap=256, dense_cap=1 << 14, use_pallas=True,
-                      pre_cap=96, interpret=True, tiles_cap=4)
+                      pre_cap=96, interpret=True, tiles_cap=4,
+                      fat_cap=16)
     sol, _ = build_and_search_fast_jit(
         jnp.asarray(pts), None, jnp.float32(r), jnp.float32(1.5 * r),
         fresh_state(), cfg, knobs)

@@ -67,6 +67,7 @@ def test_step_fn_carries_settled_fat_caps():
     eng.set_search_radius(0.06)
     eng.set_all_searches(True)
     eng.set_use_pallas(True, interpret=True)
+    eng._tiles_cap = 64   # interpret executes each grid step in Python
     # deliberately tiny fat-tier caps so run() must regrow them
     eng._fat_cap = 8
     eng._fat_wcap = 64
