@@ -128,8 +128,8 @@ def materialize_nbrs(pair: dict) -> jnp.ndarray:
 def default_tiles_cap(n: int) -> int:
     """Static cap on row-aligned 128-slot tiles: every occupied grid row
     is padded to a multiple of 128, so the tile count is ceil(n/128) plus
-    one partial tile per occupied row; 25% slack + 64 covers typical row
-    counts and the host regrows on the ``tile_overflow`` flag."""
+    one partial tile per occupied row; max(256, 25%) slack covers
+    typical row counts and the host regrows on ``tile_overflow``."""
     base = -(-n // 128)
     return base + max(256, base // 4)
 
