@@ -25,6 +25,12 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+# persistent compile cache: the remote-compile relay costs minutes per
+# unique program; repeated bench runs reuse the serialized executables
+jax.config.update("jax_compilation_cache_dir", "/tmp/treensearch_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from treensearch_tpu import TreeNSearch
