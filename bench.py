@@ -49,12 +49,15 @@ def main():
     eng.add_point_set(pts)
     eng.set_search_radius(RADIUS)
     eng.set_all_searches(True)
-    # measured-best TPU knobs at 1M (benchmarks/sweep_v3.py): cell = 1.0*r
+    # measured-best cell size at 1M (benchmarks/sweep_v3.py): cell = 1.0*r
     # (smaller windows beat the reference's 1.5*r occupancy trade-off on
-    # the VPU), 4-points-per-row packed records, windows capped at 192
+    # the VPU); window cap and record pack are auto-tuned by the engine
+    # from the first run (env overrides for sweeps)
     eng.set_cell_size(float(os.environ.get("BENCH_CELLF", 1.0)) * RADIUS)
-    eng._wcap = int(os.environ.get("BENCH_WCAP", 192))
-    eng._pack = int(os.environ.get("BENCH_PACK", 4))
+    if "BENCH_WCAP" in os.environ:
+        eng.set_window_cap(int(os.environ["BENCH_WCAP"]))
+    if "BENCH_PACK" in os.environ:
+        eng.set_record_pack(int(os.environ["BENCH_PACK"]))
 
     # z-order once (SPH practice), settle the padding caps, warm the cache
     eng.prepare_zsort()
@@ -73,12 +76,11 @@ def main():
             state, acc = carry
             sol, state = step(state, points)
             p = sol["pairs"]["0-0"]
-            # consume both outputs so nothing is dead-code-eliminated
-            # (the pallas path returns the records in tile layout plus a
-            # per-point pointer — the reference's solution_ptr analog)
-            nb = p["nbrs"] if "nbrs" in p else p["nbrs_tiles"]
-            acc = acc + p["counts"][0] + jnp.sum(nb[::17],
-                                                 dtype=jnp.int32)
+            # checksum counts only: they keep the whole pallas call (and
+            # therefore the neighbor emission) live, and unlike the raw
+            # tile blocks they are fully defined (nbr rows of tiles a
+            # tier skipped are undefined by contract, ops/pallas_pairs.py)
+            acc = acc + jnp.sum(p["counts"][::257], dtype=jnp.int32)
             return state, acc
         state, acc = jax.lax.fori_loop(0, ITERS, body,
                                        (state, jnp.int32(0)))

@@ -85,7 +85,7 @@ def test_pallas_kernel_oracle_parity(variable):
     # small fat/tile caps: the interpreter executes every grid step in
     # Python, so the defaults (fat_cap=1024) would cost minutes per call
     knobs = FastKnobs(wcap=256, dense_cap=1 << 14, use_pallas=True,
-                      pre_cap=96, interpret=True, fat_cap=16,
+                      pre_cap=96, pre_edge=96, interpret=True, fat_cap=16,
                       tiles_cap=128)
     sol = _run_fast(pts_np, rad_np, r, cell, cfg, knobs)
     assert int(sol["pairs"]["0-0"]["max_count"]) <= 96
@@ -108,7 +108,7 @@ def test_pallas_multi_pair_asymmetric_matrix():
     pairs = ((0, 0), (0, 1), (1, 0))
     cfg = SearchConfig((n0, n1), pairs, False, False, 1, 1024, 512, 96)
     knobs = FastKnobs(wcap=256, dense_cap=1 << 14, use_pallas=True,
-                      pre_cap=96, interpret=True, fat_cap=16,
+                      pre_cap=96, pre_edge=48, interpret=True, fat_cap=16,
                       tiles_cap=96)
     pts = np.concatenate([p0, p1])
     sol = _run_fast(pts, None, r, 1.5 * r, cfg, knobs)
@@ -137,7 +137,7 @@ def test_pallas_fat_tier_exact():
     # wcap deliberately below the cluster's window width -> fat tier
     knobs = FastKnobs(wcap=64, fat_wcap=1024, fat_cap=64,
                       dense_cap=1 << 14, use_pallas=True, pre_cap=448,
-                      interpret=True, tiles_cap=112)
+                      pre_edge=448, interpret=True, tiles_cap=112)
     sol = _run_fast(pts, None, r, 1.5 * r, cfg, knobs)
     assert int(sol["cand_max"]) == 0  # fat tier absorbed the wide windows
 

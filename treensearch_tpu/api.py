@@ -38,8 +38,10 @@ import numpy as np
 
 from .config import SearchConfig, round_up
 from .neighborlist import NeighborList, NeighborSolution
-from .ops.fastpath import (FastKnobs, build_and_search_fast_jit,
-                           default_tiles_cap)
+from .ops.fastpath import (FastKnobs, _pallas_applicable, _pallas_statics,
+                           build_and_search_fast_carry_jit,
+                           build_and_search_fast_jit, default_tiles_cap,
+                           make_fast_carry0)
 from .ops.grid import GridState, fresh_state
 from .ops.pipeline import build_and_search_jit
 from .ops.zsort import apply_order, zsort_order
@@ -111,9 +113,20 @@ class TreeNSearch:
         self._fat_wcap = _kd["fat_wcap"]
         self._fat_cap = _kd["fat_cap"]
         self._pre_cap = _kd["pre_cap"]
+        self._pre_edge = _kd["pre_edge"]
         self._tiles_cap: Optional[int] = None  # sized from N on first run
         self._pack = _kd["pack"]
+        self._tps = _kd["tps"]
+        self._rows_cap = _kd["rows_cap"]
+        self._mxu_prefix = _kd["mxu_prefix"]
+        self._packed_carry = _kd["packed_carry"]
+        self._wcap_user = False    # set_window_cap disables the auto-tune
+        self._wcap_tuned = False   # one-shot wcap auto-tune from win_hist
+        self._dense_snug = False   # one-shot dense-table shrink to domain
+        self._pack_user = False    # set_record_pack disables the heuristic
         self._grid_state: GridState = fresh_state()
+        self._fast_carry = None        # FastCarry (temporal coherence)
+        self._carry_key = None
         self._solution: Optional[NeighborSolution] = None
         self._zsort_maps: Optional[List[jnp.ndarray]] = None
         self._last_stats: dict = {}
@@ -231,6 +244,32 @@ class TreeNSearch:
         self._use_pallas = bool(enabled)
         self._pallas_interpret = bool(interpret)
 
+    def set_window_cap(self, wcap: int) -> None:
+        """Fix the narrow-tier candidate-window cap (slots per stencil-row
+        window).  By default the engine auto-tunes it from the first run's
+        window-length histogram; setting it explicitly disables that."""
+        if wcap < 16:
+            raise ValueError("window cap must be >= 16")
+        self._wcap = int(wcap)
+        self._wcap_user = True
+
+    def set_record_pack(self, pack: int) -> None:
+        """Candidate-record packing: points per 128-lane record row.
+        Higher packs divide the kernel's window DMA traffic and record
+        memory (measured best: 4 at ~1M points, 16 at 10M where memory
+        dominates); must divide 16.  Auto-chosen from N unless set."""
+        if pack not in (1, 2, 4, 8, 16):
+            raise ValueError("pack must be one of 1, 2, 4, 8, 16")
+        self._pack = int(pack)
+        self._pack_user = True
+
+    def set_tiles_per_step(self, tps: int) -> None:
+        """Narrow-tier query tiles per Pallas grid step (pipeline-overhead
+        amortization; measured best 2 at 1M points)."""
+        if tps not in (1, 2, 4, 8):
+            raise ValueError("tiles_per_step must be 1, 2, 4 or 8")
+        self._tps = int(tps)
+
     # ---------------------------------------------------------------- run
     def run(self) -> None:
         """Execute the search and build all active neighbor lists
@@ -274,10 +313,33 @@ class TreeNSearch:
             cap <<= 1
         return cap
 
+    def _knobs(self, use_pallas: bool) -> FastKnobs:
+        return FastKnobs(tile=self._tile, group=self._group,
+                         wcap=self._wcap,
+                         dense_cap=self._dense_cap,
+                         use_pallas=use_pallas,
+                         interpret=self._pallas_interpret,
+                         fat_wcap=self._fat_wcap,
+                         fat_cap=self._fat_cap,
+                         pre_cap=self._pre_cap,
+                         pre_edge=self._pre_edge,
+                         tiles_cap=self._tiles_cap,
+                         pack=self._pack,
+                         tps=self._tps,
+                         rows_cap=self._rows_cap,
+                         mxu_prefix=self._mxu_prefix,
+                         packed_carry=self._packed_carry)
+
     def _execute(self, points, radii, sr, cell, w, chunk, fast):
         """Run one search with overflow-regrow; returns the clean solution."""
         use_fast = fast
         use_pallas_now = self._use_pallas
+        if not self._pack_user:
+            # measured on v5e: pack=4 best at ~1M (DMA/4 at modest phase
+            # cost); pack=16 (32 B/point records) where memory dominates
+            n_tot = self.get_total_n_points()
+            self._pack = 16 if n_tot > (1 << 22) else \
+                (4 if n_tot >= 200_000 else 1)
         if self._dense_cap is None:
             self._dense_cap = self._default_dense_cap()
         if self._tiles_cap is None:
@@ -286,19 +348,21 @@ class TreeNSearch:
         for _ in range(_MAX_GROW_ROUNDS):
             cfg = self._make_cfg(chunk, w)
             if use_fast:
-                knobs = FastKnobs(tile=self._tile, group=self._group,
-                                  wcap=self._wcap,
-                                  dense_cap=self._dense_cap,
-                                  use_pallas=use_pallas_now,
-                                  interpret=self._pallas_interpret,
-                                  fat_wcap=self._fat_wcap,
-                                  fat_cap=self._fat_cap,
-                                  pre_cap=self._pre_cap,
-                                  tiles_cap=self._tiles_cap,
-                                  pack=self._pack)
-                sol, state = build_and_search_fast_jit(
-                    points, radii, jnp.float32(sr), jnp.float32(cell),
-                    self._grid_state, cfg, knobs)
+                knobs = self._knobs(use_pallas_now)
+                if _pallas_applicable(cfg, knobs) and cfg.n_points > 0:
+                    # temporal-coherence path: the carried cell structure
+                    # is reused when no point changed cells (staleness is
+                    # detected on device each call, so no host-side
+                    # invalidation is needed beyond shape changes)
+                    carry = self._get_carry(cfg, knobs)
+                    sol, state, carry = build_and_search_fast_carry_jit(
+                        points, radii, jnp.float32(sr), jnp.float32(cell),
+                        self._grid_state, carry, cfg, knobs)
+                    self._fast_carry = carry
+                else:
+                    sol, state = build_and_search_fast_jit(
+                        points, radii, jnp.float32(sr), jnp.float32(cell),
+                        self._grid_state, cfg, knobs)
             else:
                 sol, state = build_and_search_jit(
                     points, radii, jnp.float32(sr), jnp.float32(cell),
@@ -329,6 +393,14 @@ class TreeNSearch:
                 else:
                     use_fast = False  # domain too sparse for a dense table
                 sol = None  # release before re-running (10M solutions are GBs)
+                continue
+            if use_fast and int(sol.get("rows_overflow", 0)) != 0:
+                # more occupied-grid rows than the row-array budget
+                auto = max(1 << 14, self._dense_cap >> 3)
+                self._rows_cap = (2 * auto if self._rows_cap == 0
+                                  else 2 * self._rows_cap)
+                self._rows_cap = min(self._rows_cap, self._dense_cap + 1)
+                sol = None
                 continue
             if use_fast and int(sol.get("tile_overflow", 0)) != 0:
                 # more occupied grid rows than the row-aligned layout's
@@ -366,6 +438,11 @@ class TreeNSearch:
                     self._pre_cap = round_up(int(pre_surv * 1.25) + 1, 8)
                     sol = None  # release before re-running (GBs at 10M)
                     continue
+                pre_surv_e = int(sol.get("pre_surv_edge_max", 0))
+                if pre_surv_e > self._pre_edge:
+                    self._pre_edge = round_up(int(pre_surv_e * 1.25) + 1, 8)
+                    sol = None
+                    continue
             cand_limit = self._wcap if use_fast else self._cand_cap
             if cand_max > cand_limit:
                 grown = round_up(int(cand_max * 1.25) + 1, 64)
@@ -382,12 +459,59 @@ class TreeNSearch:
                 self._nbr_cap = round_up(int(max_count * 1.25) + 1, 16)
                 sol = None  # release before re-running (10M solutions are GBs)
                 continue
+            if use_fast and int(sol.get("pallas_used", 0)) != 0:
+                self._post_run_tune(sol, state, w)
             self._grid_state = state
             return sol
         raise RuntimeError(
             "padding caps failed to converge "
             f"(wcap={self._wcap}, cand_cap={self._cand_cap}, "
             f"nbr_cap={self._nbr_cap}, dense_cap={self._dense_cap})")
+
+    def _get_carry(self, cfg, knobs):
+        """Return the carried FastCarry if its shapes still match, else a
+        fresh invalid one (cap regrowth / point-count changes reshape it;
+        staleness of the CONTENT is detected on device, not here)."""
+        st = _pallas_statics(cfg, knobs)
+        key = (cfg.n_points, cfg.variable, st["tiles_cap"], st["fat_cap"],
+               st["NPAD"], st["nt8"])
+        if getattr(self, "_carry_key", None) != key \
+                or self._fast_carry is None:
+            self._fast_carry = make_fast_carry0(cfg, knobs)
+            self._carry_key = key
+        return self._fast_carry
+
+    def _post_run_tune(self, sol: dict, state, w: int) -> None:
+        """One-shot knob tuning from the first successful Pallas run.
+
+        - ``wcap`` auto-tune: pick the smallest window cap covering ~99.8%
+          of nonzero windows (the rest route to the fat tier), from the
+          device-computed window-length histogram.  Disabled by
+          ``set_window_cap`` (explicit user choice).
+        - dense-table snug: shrink the dense cell table to the measured
+          domain (the default is sized from N, which over-allocates by the
+          occupancy factor); the table histogram/scan cost per step is
+          proportional to the static cap, so this trims prep time.
+        Both change static caps for the NEXT compile only.
+        """
+        if not self._wcap_tuned and not self._wcap_user \
+                and "win_hist" in sol:
+            hist = np.asarray(sol["win_hist"])
+            total = int(hist.sum())
+            if total > 0:
+                cum = np.cumsum(hist)
+                idx = int(np.searchsorted(cum, 0.998 * total))
+                tuned = max(64, round_up((idx + 1) * 32, 8))
+                if tuned < self._wcap * 0.88 or tuned > self._wcap:
+                    self._wcap = tuned
+            self._wcap_tuned = True
+        if not self._dense_snug:
+            k = np.asarray(state.n_cells).astype(np.int64)
+            needed = int((k[0] + 2 * w) * (k[1] + 2 * w) * (k[2] + 2 * w))
+            snug = 1 << max(16, int(np.ceil(np.log2(max(needed, 1) * 1.5))))
+            if snug < self._dense_cap:
+                self._dense_cap = snug
+            self._dense_snug = True
 
     # ------------------------------------------------------------- queries
     def get_neighborlist(self, set_i: int, set_j: int, i: int) -> NeighborList:
@@ -559,7 +683,8 @@ class TreeNSearch:
         return trace_dir
 
     # ------------------------------------------------------ jit-embedding
-    def make_step_fn(self, chunk: Optional[int] = None, fast: bool = True):
+    def make_step_fn(self, chunk: Optional[int] = None, fast: bool = True,
+                     reuse: bool = False):
         """Return ``(step, state0)`` for embedding the search in a jitted
         simulation loop (e.g. under ``lax.scan``) with zero host sync:
 
@@ -569,6 +694,13 @@ class TreeNSearch:
         the solution's ``cand_max`` / ``dense_overflow`` / per-pair
         ``max_count`` fields for the caller to check when convenient.
         Call ``run()`` once first to let the caps settle.
+
+        With ``reuse=True`` (Pallas path only) the state is the pair
+        ``(grid_state, fast_carry)`` and each step reuses the carried cell
+        structure when no point changed cells — the TPU answer to the
+        reference's temporal-coherence machinery
+        (``TreeNSearch.cpp:417-424``); results are exact either way, and
+        ``solution["rebuilt"]`` reports what happened.
         """
         self._check()
         cell = self._effective_cell_size()
@@ -579,15 +711,23 @@ class TreeNSearch:
         if self._tiles_cap is None:
             self._tiles_cap = default_tiles_cap(
                 max(self.get_total_n_points(), 1))
-        knobs = FastKnobs(tile=self._tile, group=self._group,
-                          wcap=self._wcap, dense_cap=self._dense_cap,
-                          use_pallas=self._use_pallas,
-                          interpret=self._pallas_interpret,
-                          fat_wcap=self._fat_wcap,
-                          fat_cap=self._fat_cap,
-                          pre_cap=self._pre_cap,
-                          tiles_cap=self._tiles_cap,
-                          pack=self._pack)
+        knobs = self._knobs(self._use_pallas)
+
+        if reuse:
+            if not (fast and _pallas_applicable(cfg, knobs)
+                    and cfg.n_points > 0):
+                raise ValueError(
+                    "reuse=True requires the Pallas fast path "
+                    "(use_pallas on, <= 8 candidate sets, n > 0)")
+
+            def step(state, points, radii=None):
+                grid, carry = state
+                sol, grid, carry = build_and_search_fast_carry_jit(
+                    points, radii, jnp.float32(sr), jnp.float32(cell),
+                    grid, carry, cfg, knobs)
+                return sol, (grid, carry)
+
+            return step, (fresh_state(), make_fast_carry0(cfg, knobs))
 
         def step(state, points, radii=None):
             if fast:
@@ -653,8 +793,17 @@ class TreeNSearch:
         return 1.5 * r_min
 
     def _stencil_w(self, cell: float) -> int:
+        """Stencil half-width: smallest w with w*cell >= r_max, computed
+        with the same f32 directed-rounding-safe test as the device-side
+        per-tile reach (ops/fastpath.py) — no epsilon slack."""
         _, r_max = self._radius_bounds()
-        return max(1, int(math.ceil(r_max / cell - 1e-6)))
+        if r_max <= 0:
+            return 1
+        c = np.float32(cell)
+        r = np.float32(r_max)
+        w0 = int(np.floor(r * (np.float32(1.0) / c)))
+        w = w0 if np.float32(w0) * c >= r else w0 + 1
+        return max(1, w)
 
     def _check(self) -> None:
         # mirrors _check validation (TreeNSearch.cpp:366-392)

@@ -98,10 +98,20 @@ class NeighborSolution:
         return p["counts"], self._materialized(p)
 
     def n_bytes(self) -> int:
-        """Memory of the neighbor data, reference
-        ``get_neighborlist_n_bytes`` (``TreeNSearch.cpp:254-261``)."""
+        """Memory of the per-point neighbor lists, reference
+        ``get_neighborlist_n_bytes`` (``TreeNSearch.cpp:254-261``).
+
+        For tile-layout (Pallas) pairs this reports the per-point VIEW
+        size (counts + n x cap rows) — the same meaning as the
+        reference's list bytes — not the internal tile-record storage,
+        which is shared across pairs and sized by the tile caps."""
         total = 0
         for p in self._dev.values():
-            nb = p["nbrs"] if "nbrs" in p else p["nbrs_tiles"]
-            total += p["counts"].size * 4 + nb.size * 4
+            total += p["counts"].size * 4
+            if "nbrs" in p:
+                total += p["nbrs"].size * 4
+            else:
+                n = p["qpos"].shape[0]
+                cap = p["nbrs_tiles"].shape[1]
+                total += n * cap * 4
         return total

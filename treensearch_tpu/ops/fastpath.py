@@ -44,8 +44,6 @@ table, the host falls back to ``ops/pipeline.py``.
 
 from __future__ import annotations
 
-import os
-
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -72,14 +70,20 @@ class FastKnobs(NamedTuple):
     wcap: int = 288        # max points per stencil-row window (measured 1M)
     dense_cap: int = 1 << 22  # dense cell-table slots
     use_pallas: bool = False   # fused Pallas pair kernel (ops/pallas_pairs)
-    pre_cap: int = 48          # per-window pre-compaction width (pallas)
+    pre_cap: int = 48          # center-window pre-compaction width (pallas)
     interpret: bool = False    # pallas interpreter mode (CPU tests)
     fat_wcap: int = 1024       # window cap of the fat tier
     fat_cap: int = 1024        # max tiles handled by the fat tier
     tiles_cap: int = 0         # row-aligned tile slots (0 = auto from n)
     pack: int = 1              # record points per 128-lane row (1/2/4/8/16)
+    pre_edge: int = 24         # edge-window pre-compaction width (pallas)
+    tps: int = 2               # narrow-tier tiles per pallas grid step
+    rows_cap: int = 0          # grid-row array slots (0 = auto)
+    mxu_prefix: bool = True    # MXU tril-matmul prefix counts (measured +)
+    packed_carry: bool = False  # 1-roll packed compaction (measured -)
     skip_stage: int = 0        # DEV ONLY: 1 = no per-window compaction,
-    #                            2 = no merge either (stage attribution)
+    #                            2 = no merge either, 3 = kernel body off,
+    #                            4 = + no output init (stage attribution)
 
 
 @jax.jit
@@ -105,16 +109,21 @@ def materialize_nbrs(pair: dict) -> jnp.ndarray:
     per-thread record chunks (``TreeNSearch.cpp:2496-2500``) — so the
     (n, cap) per-point view is built only when a consumer asks for it.
 
+    HOST-SIDE ONLY: operates on concrete arrays (it synchronizes the
+    device); do not call it on traced values inside a jit.
+
     Memory discipline (the tile layout is ~5 GB at 10M points): the tile
-    arrays are transposed to slot-major ONCE and then RELEASED from the
-    solution dict before the row gathers run in host-chunked slices, so
-    the device never holds more than one full-size copy plus the result.
+    arrays are transposed to slot-major ONCE and — only after ``nbrs``
+    has been stored on the dict — RELEASED from it, so the device never
+    holds more than one full-size copy plus the result.  Callers keeping
+    the raw step-fn solution keep ``counts``/``qpos`` and gain ``nbrs``;
+    the tile-layout keys are consumed.
     """
     if "nbrs" in pair:
         return pair["nbrs"]
-    flat_n = jax.block_until_ready(_to_slot_major(pair.pop("nbrs_tiles")))
-    flat_f = _to_slot_major(pair.pop("nbrs_fat"))
-    fat_slot = pair.pop("fat_slot")
+    flat_n = jax.block_until_ready(_to_slot_major(pair["nbrs_tiles"]))
+    flat_f = _to_slot_major(pair["nbrs_fat"])
+    fat_slot = pair["fat_slot"]
     qpos = pair["qpos"]
     n = qpos.shape[0]
     chunk = 1 << 21
@@ -122,6 +131,9 @@ def materialize_nbrs(pair: dict) -> jnp.ndarray:
              for a in range(0, n, chunk)]
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     pair["nbrs"] = out
+    # release the tile-layout storage only now (memory discipline at 10M)
+    for k in ("nbrs_tiles", "nbrs_fat", "fat_slot"):
+        pair.pop(k, None)
     return out
 
 
@@ -153,6 +165,590 @@ def _blocked_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     return (within + row_off[:, None]).reshape(-1)[:m]
 
 
+class FastCarry(NamedTuple):
+    """Cell-assignment-derived state carried across steps (temporal
+    coherence).
+
+    The reference's whole design exploits coherence between simulation
+    steps: almost-sorted points make the run-length cell extraction cheap
+    (``TreeNSearch.cpp:417-424``) and octree node buffers persist across
+    runs (``octree_internals.h:166-211``).  The TPU-native equivalent is
+    this pytree: everything the search kernel needs that depends only on
+    the points' CELL ASSIGNMENT (sort permutation, row-aligned layout,
+    window descriptors, tier routing) is carried; each step re-derives the
+    cell keys (cheap, elementwise) and rebuilds the carry only when some
+    point changed cells (or the grid/radii changed).  Coordinates change
+    every step, so the record arrays are always rebuilt — but the sort,
+    dense-table scan, layout scans and descriptor gathers are skipped in
+    the steady state.  Exact by construction: reuse happens only when a
+    stable re-sort of the new keys would reproduce the carried permutation
+    bit-for-bit (equal keys + stable sort => identical order).
+    """
+    valid: jnp.ndarray         # () bool
+    lin_s: jnp.ndarray         # (n,) sorted linear cell ids (change check)
+    r_chk: jnp.ndarray         # (n,) sorted radii at build ((0,) if fixed)
+    idx_s: jnp.ndarray         # (n,) sorted slot -> original index
+    inv_perm: jnp.ndarray      # (n,) original index -> sorted slot
+    pp: jnp.ndarray            # (n,) sorted slot -> padded (row-aligned) slot
+    gidx: jnp.ndarray          # (NPAD+128,) padded slot -> sorted slot (or n)
+    desc: jnp.ndarray          # (nt8, DESC_W) window descriptors
+    fat_ids: jnp.ndarray       # (fat_cap,) fat-tier tile ids
+    fat_slot: jnp.ndarray      # (tiles_cap,) tile -> fat slot (-1 narrow)
+    dense_overflow: jnp.ndarray
+    tile_overflow: jnp.ndarray
+    rows_overflow: jnp.ndarray
+    fat_overflow: jnp.ndarray
+    win_max: jnp.ndarray
+    n_cells_stat: jnp.ndarray
+    win_hist: jnp.ndarray      # (64,) window-length histogram
+
+
+def _pallas_statics(cfg: SearchConfig, knobs: FastKnobs) -> dict:
+    """Static sizes shared by prep, search and the carry constructor."""
+    from ..config import round_up
+    from .pallas_pairs import TILE as PTILE
+    w = cfg.stencil_w
+    pack = knobs.pack
+    tiles_cap = round_up(knobs.tiles_cap if knobs.tiles_cap > 0 else
+                         default_tiles_cap(cfg.n_points), knobs.tps)
+    return {
+        "w": w, "pack": pack,
+        "wcap": round_up(knobs.wcap, 8 * pack),
+        "fat_wcap": round_up(knobs.fat_wcap, 8 * pack),
+        "fat_cap": knobs.fat_cap,
+        "tiles_cap": tiles_cap,
+        "NPAD": tiles_cap * PTILE,
+        "nt8": -(-(tiles_cap + 1) // 8) * 8,  # +1 dummy: padded fat ids
+        "rows_cap": knobs.rows_cap if knobs.rows_cap > 0 else
+                    max(1 << 14, knobs.dense_cap >> 3),
+        "offs_2d": [(di, dj) for di in range(-w, w + 1)
+                    for dj in range(-w, w + 1)],
+        "cand_sets": tuple(sorted({sj for (_, sj) in cfg.active_pairs})),
+    }
+
+
+def make_fast_carry0(cfg: SearchConfig, knobs: FastKnobs) -> FastCarry:
+    """Fresh (invalid) carry with the shapes the jitted step expects."""
+    from .pallas_pairs import DESC_W
+    st = _pallas_statics(cfg, knobs)
+    n = cfg.n_points
+
+    def z(shape):
+        return jnp.zeros(shape, jnp.int32)
+
+    return FastCarry(
+        valid=jnp.zeros((), jnp.bool_),
+        lin_s=z((n,)),
+        r_chk=jnp.zeros((n if cfg.variable else 0,), jnp.float32),
+        idx_s=z((n,)), inv_perm=z((n,)), pp=z((n,)),
+        gidx=z((st["NPAD"] + 128,)),
+        desc=z((st["nt8"], DESC_W)),
+        fat_ids=z((st["fat_cap"],)), fat_slot=z((st["tiles_cap"],)),
+        dense_overflow=z(()), tile_overflow=z(()), rows_overflow=z(()),
+        fat_overflow=z(()), win_max=z(()), n_cells_stat=z(()),
+        win_hist=z((64,)))
+
+
+def _padded_lin(points, state, cfg, knobs, lin_base=None):
+    """Linear padded cell id per point (+ grid strides).
+
+    ``lin_base`` (optional device scalar) rebases the id to a contiguous
+    local window of the global grid (the sharded path's slab + halos) —
+    quantization itself always uses the GLOBAL grid origin so cell
+    assignment is bit-identical to the single-device program."""
+    w = cfg.stencil_w
+    ky, kz = state.n_cells[1], state.n_cells[2]
+    dy = ky + 2 * w
+    dz = kz + 2 * w
+    inv_cell = 1.0 / state.cell_size
+    ijk = K.quantize(points, state.grid_min, inv_cell, state.n_cells)
+    lin = _lin_coords(ijk, w, dy, dz)
+    if lin_base is not None:
+        lin = lin - lin_base
+    lin = jnp.clip(lin, 0, knobs.dense_cap - 1)
+    return lin, dy, dz, inv_cell
+
+
+def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
+                 state: GridState, cfg: SearchConfig,
+                 knobs: FastKnobs,
+                 valid: Optional[jnp.ndarray] = None,
+                 owned_rng: Optional[tuple] = None,
+                 lin_base=None, span_i=None) -> FastCarry:
+    """Everything derived from the cell assignment: sort, dense table,
+    row-aligned layout, window descriptors, tier routing (the roles of the
+    reference's ``_points_to_cells_simd`` + octree build,
+    ``TreeNSearch.cpp:837-1822``, re-designed as sort + scans).
+
+    ``valid`` (optional, (n,) bool): rows flagged False (the sharded
+    path's routing/halo padding) are parked in the last dense-table slot,
+    outside every real window.  ``owned_rng`` (optional, (lo, hi) device
+    scalars in unpadded i-cells): tiles of grid rows outside [lo, hi) are
+    marked skip (descriptor FAT_COL = 2) — neither tier processes them
+    and their windows do not count toward the fat routing — so a sharded
+    device searches ONLY its owned slab's queries while halo records
+    still serve as candidates.  ``lin_base`` rebases the linear ids to a
+    slab-local dense-table window (see ``_padded_lin``); ``owned_rng`` is
+    then given in rebased PADDED row-i units (``trow // dy``).
+    ``span_i`` overrides the i-extent used by the dense-overflow check
+    (the local window's, not the whole grid's)."""
+    from .pallas_pairs import DESC_W, FAT_COL, LENS_OFF, TILE as PTILE
+
+    st = _pallas_statics(cfg, knobs)
+    n = cfg.n_points
+    w, pack = st["w"], st["pack"]
+    wcap, fat_wcap, fat_cap = st["wcap"], st["fat_wcap"], st["fat_cap"]
+    tiles_cap, NPAD, nt8 = st["tiles_cap"], st["NPAD"], st["nt8"]
+    rows_cap = st["rows_cap"]
+    offs_2d = st["offs_2d"]
+    dense_cap = knobs.dense_cap
+
+    kx, ky, kz = state.n_cells[0], state.n_cells[1], state.n_cells[2]
+    dx = (kx + 2 * w) if span_i is None else span_i
+    # overflow check in float to avoid int32 wrap on huge sparse domains
+    lin, dy, dz, inv_cell = _padded_lin(points, state, cfg, knobs,
+                                        lin_base=lin_base)
+    if valid is not None:
+        lin = jnp.where(valid, lin, dense_cap - 1)
+    dense_size_f = (dx.astype(jnp.float32) * dy.astype(jnp.float32)
+                    * dz.astype(jnp.float32))
+    dense_overflow = (dense_size_f
+                      > jnp.float32(dense_cap - 1)).astype(jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    lin_s, idx_s = jax.lax.sort((lin, iota), num_keys=1, is_stable=True)
+    r_s = radii[idx_s] if cfg.variable else jnp.zeros((0,), jnp.float32)
+
+    # Dense cell table: table[q] = number of points with lin < q, i.e. the
+    # sorted start index of cell q with empty cells naturally pointing at
+    # the next occupied cell.  Built as histogram + blocked cumsum.
+    hist = jnp.zeros((dense_cap + 1,), jnp.int32).at[lin + 1].add(1)
+    table = _blocked_cumsum(hist)
+
+    # ---- row-aligned padded layout (see ops/pallas_pairs.py) -----------
+    # every occupied grid row ((i, j) fixed) is padded to a multiple
+    # of PTILE slots, so each 128-slot tile lies in exactly one row.
+    # Row-indexed arrays are sized by a (much smaller) static row cap:
+    # real rows number dx*dy <= dense_cap/dz, so sizing them by
+    # dense_cap wasted a ~dz factor of scan/gather work per step.
+    n_rows = dx * dy
+    rows_overflow = (n_rows + 1 > rows_cap).astype(jnp.int32)
+    rid = jnp.minimum(lin_s // dz, rows_cap - 1)  # padded grid-row id
+    r_idx = jnp.arange(rows_cap + 1, dtype=jnp.int32)
+    r_eff = jnp.minimum(r_idx, dense_cap // dz + 1)  # avoid i32 wrap
+    row_starts = table[jnp.minimum(r_eff * dz, dense_cap)]
+    row_pads = (-(row_starts[1:] - row_starts[:-1])) % PTILE
+    pads_inc = _blocked_cumsum(row_pads)
+    pads_exc = pads_inc - row_pads
+    npad_total = n + pads_inc[-1]
+    tile_overflow = (npad_total > NPAD).astype(jnp.int32)
+    pp = jnp.minimum(iota + pads_exc[rid], NPAD - 1)  # padded slot
+
+    # ---- per-tile row/k extents -----------------------------------------
+    # a tile lies in ONE grid row, so min/max of the linear key give
+    # both the row id and the k-extent: two scatter-reduces total
+    tile_of = pp // PTILE
+    lmin = jnp.full((tiles_cap,), jnp.int32(np.iinfo(np.int32).max)
+                    ).at[tile_of].min(lin_s)
+    lmax = jnp.full((tiles_cap,), -1, jnp.int32).at[tile_of].max(lin_s)
+    has = (lmax >= 0).astype(jnp.int32)
+    trow = jnp.where(has > 0, lmin // dz, 0)
+    k0 = lmin - trow * dz
+    k1 = jnp.maximum(lmax - trow * dz, 0)
+
+    # ---- local stencil reach (variable mode) ----------------------------
+    # the static stencil W = ceil(r_max_global/cell) bounds the
+    # (di, dj) loop, but each tile only reaches as far as
+    # max(its own max radius, the neighbor row's max radius) — the
+    # role of the reference's per-cell max radii driving local ghost
+    # width (TreeNSearch.cpp:781-835,1457-1466).  Windows beyond the
+    # local reach get length 0 and are skipped inside the kernel.
+    if cfg.variable:
+        row_rmax = jnp.zeros((rows_cap,), jnp.float32).at[rid].max(r_s)
+        tile_rmax = jnp.zeros((tiles_cap,), jnp.float32
+                              ).at[tile_of].max(r_s)
+
+    # ---- window descriptors: one k-run per (di, dj) ---------------------
+    # window = sorted range [table[row' + k0 - w], table[row' + k1+w+1])
+    # of neighbor row row' = trow + di*dy + dj; windows of distinct
+    # (di, dj) are disjoint, so the kernel needs no stencil recompute.
+    starts_l, lens_l = [], []
+    for (di, dj) in offs_2d:
+        rp = jnp.clip(trow + di * dy + dj, 0, dense_cap // dz)
+        base = jnp.minimum(rp * dz, dense_cap)
+        if cfg.variable:
+            reach = jnp.maximum(tile_rmax,
+                                row_rmax[jnp.minimum(rp, rows_cap - 1)])
+            # smallest integer reach in cells, rounded safely: take
+            # floor(reach/cell) and step up unless that many whole
+            # cells already cover the reach (directed-rounding-safe,
+            # no epsilon slack; same role as the reference per-node
+            # ghost width, TreeNSearch.cpp:1457-1466)
+            w0 = jnp.floor(reach * inv_cell).astype(jnp.int32)
+            w_need = jnp.clip(
+                jnp.where(w0.astype(jnp.float32) * state.cell_size
+                          >= reach, w0, w0 + 1),
+                1, w)
+            ok = (max(abs(di), abs(dj)) <= w_need).astype(jnp.int32)
+            wk = w_need
+        else:
+            ok, wk = 1, w
+        s = table[jnp.clip(base + k0 - wk, 0, dense_cap)]
+        e = table[jnp.clip(base + k1 + wk + 1, 0, dense_cap)]
+        lens_l.append(jnp.maximum(e - s, 0) * has * ok)
+        # window starts index the UNPADDED sorted records: only the
+        # query tiling needs row alignment, windows use exact ranges
+        starts_l.append(jnp.clip(s, 0, n))
+    starts = jnp.stack(starts_l, axis=1)
+    lens = jnp.stack(lens_l, axis=1)
+    if owned_rng is not None:
+        # query-row filter (sharded): only tiles whose grid row lies in
+        # the device's owned i-range (in rebased padded row-i units, see
+        # docstring) run as queries
+        i_pad = trow // dy
+        is_q = ((i_pad >= owned_rng[0]) & (i_pad < owned_rng[1])
+                & (has > 0))
+        lens = lens * is_q[:, None].astype(jnp.int32)
+    win_max = jnp.max(lens)
+    # window-length histogram (bins of 32) for the host's wcap
+    # auto-tune; counts nonzero windows only
+    win_hist = jnp.zeros((64,), jnp.int32).at[
+        jnp.clip(lens // 32, 0, 63)].add((lens > 0).astype(jnp.int32))
+
+    # ---- fat tier routing -----------------------------------------------
+    # packed DMAs start at the row floor of the first slot, so a
+    # tier's effective capacity is its wcap minus (pack-1)
+    fat_mask = jnp.max(lens, axis=1) > (wcap - (pack - 1))
+    n_fat = jnp.sum(fat_mask.astype(jnp.int32))
+    fat_overflow = (n_fat > fat_cap) | (win_max > fat_wcap - (pack - 1))
+    rank = jnp.cumsum(fat_mask.astype(jnp.int32))
+    tile_ids = jnp.arange(tiles_cap, dtype=jnp.int32)
+    fat_ids = jnp.full((fat_cap,), tiles_cap, jnp.int32).at[
+        jnp.where(fat_mask & (rank <= fat_cap), rank - 1, fat_cap)
+    ].set(tile_ids, mode="drop")
+    # tile -> fat slot (-1 = narrow), for select-at-gather merging
+    fat_slot = jnp.where(fat_mask & (rank <= fat_cap), rank - 1, -1)
+
+    n_win = len(offs_2d)
+    fat_col = fat_mask.astype(jnp.int32)
+    if owned_rng is not None:
+        # 2 = skip in BOTH tiers (narrow runs only on 0; the fat tier's
+        # id list excludes these because their lens were zeroed above)
+        fat_col = jnp.where(is_q, fat_col, 2)
+    desc = jnp.zeros((nt8, DESC_W), jnp.int32)
+    desc = desc.at[:tiles_cap, :n_win].set(starts)
+    desc = desc.at[:tiles_cap, LENS_OFF:LENS_OFF + n_win].set(lens)
+    desc = desc.at[:tiles_cap, FAT_COL].set(fat_col)
+
+    # ---- carried maps ---------------------------------------------------
+    inv_perm = jnp.zeros((n,), jnp.int32).at[idx_s].set(
+        iota, unique_indices=True)
+    # padded slot -> sorted slot (or n for padding); the extra all-sentinel
+    # tile serves the fat tier's padded dummy ids
+    gidx = jnp.full((NPAD + PTILE,), n, jnp.int32).at[pp].set(iota)
+    if n > 1:
+        n_cells_stat = 1 + jnp.sum(lin_s[1:] != lin_s[:-1])
+    else:
+        n_cells_stat = jnp.asarray(n, jnp.int32)
+
+    return FastCarry(
+        valid=jnp.ones((), jnp.bool_), lin_s=lin_s, r_chk=r_s,
+        idx_s=idx_s, inv_perm=inv_perm, pp=pp, gidx=gidx, desc=desc,
+        fat_ids=fat_ids, fat_slot=fat_slot,
+        dense_overflow=dense_overflow, tile_overflow=tile_overflow,
+        rows_overflow=rows_overflow,
+        fat_overflow=fat_overflow.astype(jnp.int32), win_max=win_max,
+        n_cells_stat=n_cells_stat, win_hist=win_hist)
+
+
+def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
+                   search_radius: jnp.ndarray, state: GridState,
+                   carry: FastCarry, cfg: SearchConfig,
+                   knobs: FastKnobs,
+                   set_ids_data: Optional[jnp.ndarray] = None,
+                   orig_ids: Optional[jnp.ndarray] = None,
+                   sentinel_orig: Optional[int] = None,
+                   cand_sets: Optional[tuple] = None,
+                   cand_offsets: Optional[tuple] = None,
+                   multi_set: Optional[bool] = None,
+                   raw: bool = False) -> dict:
+    """Record build + fused pair kernel + per-pair gathers, all against a
+    (possibly reused) ``FastCarry``.
+
+    The sharded path overrides the set/orig identity sources (its local
+    rows carry GLOBAL original indices and data-driven set ids) and takes
+    ``raw=True``: the solution then exposes per-candidate-set ``blocks``
+    (tile-layout counts/nbrs) instead of per-pair host-set gathers, and
+    the caller routes them with the carry's maps."""
+    from .pallas_pairs import (DESC_W, N_FIELDS, SENTINEL, TILE as PTILE,
+                               make_pairs_call)
+    from ..config import round_up
+
+    st = _pallas_statics(cfg, knobs)
+    n = cfg.n_points
+    pack = st["pack"]
+    wcap, fat_wcap, fat_cap = st["wcap"], st["fat_wcap"], st["fat_cap"]
+    tiles_cap, NPAD = st["tiles_cap"], st["NPAD"]
+    offs_2d = st["offs_2d"]
+    if cand_sets is None:
+        cand_sets = st["cand_sets"]
+    if cand_offsets is None:
+        cand_offsets = tuple(cfg.set_offsets[sj] for sj in cand_sets)
+    if multi_set is None:
+        multi_set = cfg.n_sets > 1
+    n_win = len(offs_2d)
+    k_sel = cfg.nbr_cap
+    idx_s = carry.idx_s
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    pts_s = points[idx_s]
+    if set_ids_data is not None:
+        set_id_s = set_ids_data[idx_s]
+    else:
+        set_ids = jnp.asarray(np.repeat(
+            np.arange(cfg.n_sets, dtype=np.int32), cfg.set_sizes))
+        set_id_s = set_ids[idx_s]
+    orig_s = orig_ids[idx_s] if orig_ids is not None else idx_s
+    r_s = radii[idx_s] if cfg.variable else None
+    r2_fixed = (search_radius * search_radius).astype(jnp.float32)
+
+    # ---- padded record arrays -------------------------------------------
+    # Record arrays are INT32-typed: coordinates ride as f32 bit
+    # patterns bitcast into ints and indices/set ids are plain ints.
+    # The reverse (ints bitcast into f32 lanes) is UNSOUND on TPU:
+    # indices < 2^23 are f32 denormals and the hardware flushes them
+    # to zero in float relayouts (observed at 1M: every candidate
+    # orig read 0, turning off self-exclusion).  Integer moves never
+    # flush, and any f32 pattern is a valid int32.
+    # Padding slots carry sentinel records: far coords kill the
+    # distance test, orig = n makes sentinels self-exclude each other.
+    def _asbits(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+    rfield = r_s if cfg.variable else jnp.zeros((n,), jnp.float32)
+    rec8 = jnp.stack([_asbits(pts_s[:, 0]), _asbits(pts_s[:, 1]),
+                      _asbits(pts_s[:, 2]), _asbits(rfield),
+                      orig_s, set_id_s,
+                      jnp.zeros((n,), jnp.int32),
+                      jnp.zeros((n,), jnp.int32)], axis=1)
+    sent_xyz = jax.lax.bitcast_convert_type(jnp.float32(SENTINEL),
+                                            jnp.int32)
+    sent = jnp.zeros((N_FIELDS,), jnp.int32)
+    sent = sent.at[0].set(sent_xyz).at[1].set(sent_xyz).at[2].set(
+        sent_xyz)
+    sent = sent.at[4].set(jnp.int32(sentinel_orig if sentinel_orig
+                                    is not None else n))
+    sent = sent.at[5].set(jnp.int32(-1))
+    slack = max(wcap, fat_wcap, PTILE)
+    # candidate records stay in plain sorted order (contiguous build,
+    # no scatter) with a sentinel tail for window overreads; `pack`
+    # points per 128-lane row (sublane-dim row DMAs take exact
+    # unaligned starts; lane-dim needs 128 alignment — see
+    # ops/pallas_pairs.py docstring)
+    lpp = 128 // pack
+    tail = slack + (-n % pack)
+    rec_lp = jnp.pad(
+        jnp.concatenate([rec8, jnp.broadcast_to(sent,
+                                                (tail, N_FIELDS))]),
+        ((0, 0), (0, lpp - N_FIELDS)))
+    rec_pad = rec_lp.reshape(-1, 128)
+    # queries DO need lane alignment: gather rows through the carried
+    # padded-slot map (a direct (n, 8) row scatter runs on the scatter
+    # engine at ~10 GB/s and costs ~45 ms/step at 1M,
+    # benchmarks/recbuild_probe.py; this formulation is ~3 ms)
+    rec8x = jnp.concatenate([rec8, sent[None]])
+    q_t = rec8x[jnp.minimum(carry.gidx, n)].T   # (8, NPAD+128)
+
+    params = jnp.zeros((8, DESC_W), jnp.float32).at[0, 0].set(r2_fixed)
+
+    k8 = -(-k_sel // 8) * 8  # kernel output rows need 8-row tiling
+    # asymmetric per-window staging: the center (di=dj=0) window holds
+    # each query's own cell column (most survivors); edges need less
+    pre_c = min(round_up(knobs.pre_cap, 8), k8)
+    pre_e = min(round_up(knobs.pre_edge, 8), pre_c)
+    center_win = n_win // 2
+    pre_caps = tuple(pre_c if i == center_win else pre_e
+                     for i in range(n_win))
+    cand_offsets = tuple(cfg.set_offsets[sj] for sj in cand_sets)
+    kargs = dict(variable=cfg.variable, symmetric=cfg.symmetric,
+                 cand_sets=cand_sets, cand_offsets=cand_offsets,
+                 multi_set=cfg.n_sets > 1, center_win=center_win,
+                 interpret=knobs.interpret, pack=pack,
+                 skip_stage=knobs.skip_stage,
+                 val_bound=max(cfg.set_sizes),
+                 mxu_prefix=knobs.mxu_prefix,
+                 packed_carry=knobs.packed_carry)
+    n_blocks_dbg = len(cand_sets)
+    if knobs.skip_stage >= 5:
+        # DEV: bypass the pallas calls entirely (XLA-side floor); >= 6
+        # additionally elides the record build via DCE
+        outs_n = [jnp.zeros((tiles_cap * 8, 128), jnp.int32),
+                  jnp.zeros((tiles_cap * k8, 128), jnp.int32)
+                  ] * n_blocks_dbg
+        outs_f = [jnp.zeros((fat_cap * 8, 128), jnp.int32),
+                  jnp.zeros((fat_cap * k8, 128), jnp.int32)
+                  ] * n_blocks_dbg
+        if knobs.skip_stage < 6:
+            # keep the record arrays fully materialized (barrier stops
+            # XLA from slicing the builds down to the consumed scalar)
+            q_t_b, rec_b = jax.lax.optimization_barrier((q_t, rec_pad))
+            outs_n = list(outs_n)
+            outs_n[0] = outs_n[0] + (q_t_b[0, 0] + rec_b[0, 0])
+    else:
+        narrow = make_pairs_call(wcap, pre_caps, k8, n_win,
+                                 fat_tier=False, tiles_per_step=knobs.tps,
+                                 **kargs)
+        outs_n = narrow(tiles_cap, carry.desc, params, q_t, rec_pad)
+        fat = make_pairs_call(fat_wcap, pre_caps, k8, n_win,
+                              fat_tier=True, **kargs)
+        outs_f = fat(fat_cap, carry.desc, params, q_t, rec_pad,
+                     ids=carry.fat_ids)
+
+    pre_surv_c = jnp.zeros((), jnp.int32)
+    pre_surv_e = jnp.zeros((), jnp.int32)
+    pairs = {}
+    # one kernel output block per DISTINCT candidate set; pairs that
+    # share set_j share the block arrays (the neighbor set of a query
+    # against set_j does not depend on the query's own set)
+    blk = {}
+    for b, sj in enumerate(cand_sets):
+        cnt_n, nbr_n = outs_n[2 * b], outs_n[2 * b + 1]
+        cnt_f, nbr_f = outs_f[2 * b], outs_f[2 * b + 1]
+        blk[sj] = {
+            "counts_all": cnt_n[0::8], "counts_fat": cnt_f[0::8],
+            "nbrs_tiles": nbr_n.reshape(tiles_cap, k8, PTILE),
+            "nbrs_fat": nbr_f.reshape(fat_cap, k8, PTILE)}
+        pre_surv_c = jnp.maximum(
+            pre_surv_c, jnp.maximum(jnp.max(cnt_n[1::8]),
+                                    jnp.max(cnt_f[1::8])))
+        pre_surv_e = jnp.maximum(
+            pre_surv_e, jnp.maximum(jnp.max(cnt_n[2::8]),
+                                    jnp.max(cnt_f[2::8])))
+    if raw:
+        return {
+            "blocks": blk,
+            "cand_max": jnp.where(carry.fat_overflow > 0,
+                                  carry.win_max, 0),
+            "n_cells": carry.n_cells_stat,
+            "error": state.error,
+            "dense_overflow": carry.dense_overflow,
+            "pallas_used": jnp.ones((), jnp.int32),
+            "pre_surv_max": pre_surv_c,
+            "pre_surv_edge_max": pre_surv_e,
+            "tile_overflow": carry.tile_overflow,
+            "rows_overflow": carry.rows_overflow,
+        }
+    for (si, sj) in cfg.active_pairs:
+        name = _pair_name(si, sj)
+        n_i = cfg.set_sizes[si]
+        if n_i > 0:
+            # original order -> sorted slot -> padded slot, composed into
+            # ONE gather per output (no (N, k8) intermediates at 10M)
+            rows_sorted = jax.lax.dynamic_slice_in_dim(
+                carry.inv_perm, cfg.set_offsets[si], n_i)
+            ppos = carry.pp[rows_sorted]
+            t_i, lane = ppos // PTILE, ppos % PTILE
+            fs = carry.fat_slot[t_i]
+            # merge tiers by SELECT at gather time: a scatter of the
+            # fat rows over the narrow output would copy the whole
+            # multi-GB narrow array (measured OOM at 10M)
+            counts = jnp.where(
+                fs >= 0,
+                blk[sj]["counts_fat"][jnp.maximum(fs, 0), lane],
+                blk[sj]["counts_all"][t_i, lane])
+            max_count = jnp.max(counts)
+            # neighbor rows stay in tile layout + per-point pointer
+            # (see materialize_nbrs); at 10M the per-point gather
+            # alone is ~4 GB, so it runs only on demand
+            pairs[name] = {
+                "counts": counts, "max_count": max_count,
+                "nbrs_tiles": blk[sj]["nbrs_tiles"],
+                "nbrs_fat": blk[sj]["nbrs_fat"],
+                "fat_slot": carry.fat_slot, "qpos": ppos}
+        else:
+            pairs[name] = {
+                "counts": jnp.zeros((0,), jnp.int32),
+                "nbrs": jnp.zeros((0, k_sel), jnp.int32),
+                "max_count": jnp.zeros((), jnp.int32)}
+
+    return {
+        "pairs": pairs,
+        "cand_max": jnp.where(carry.fat_overflow > 0, carry.win_max, 0),
+        "n_cells": carry.n_cells_stat,
+        "error": state.error,
+        "dense_overflow": carry.dense_overflow,
+        "straddle": jnp.zeros((), jnp.int32),
+        "pallas_used": jnp.ones((), jnp.int32),
+        # max survivors in any center/edge window (counts rows 1/2):
+        # beyond the pre-cap means pre-compaction truncated -> regrow
+        "pre_surv_max": pre_surv_c,
+        "pre_surv_edge_max": pre_surv_e,
+        "tile_overflow": carry.tile_overflow,
+        "rows_overflow": carry.rows_overflow,
+        "win_hist": carry.win_hist,
+    }
+
+
+def _pallas_applicable(cfg: SearchConfig, knobs: FastKnobs) -> bool:
+    """Static gate for the fused kernel: <= 8 distinct candidate sets, a
+    record array within the memory budget (512/pack bytes per point) and
+    a stencil the descriptor layout supports."""
+    cand_sets = {sj for (_, sj) in cfg.active_pairs}
+    return (knobs.use_pallas and 1 <= len(cand_sets) <= 8
+            and cfg.n_points <= (1 << 22) * knobs.pack
+            and cfg.stencil_w <= 3)
+
+
+def build_and_search_fast_carry(points: jnp.ndarray,
+                                radii: Optional[jnp.ndarray],
+                                search_radius: jnp.ndarray,
+                                cell_size: jnp.ndarray,
+                                state: GridState,
+                                carry: FastCarry,
+                                cfg: SearchConfig,
+                                knobs: FastKnobs
+                                ) -> tuple[dict, GridState, FastCarry]:
+    """Temporal-coherence step: reuse the carried cell structure when no
+    point changed cells (the reference's core coherence trick,
+    ``TreeNSearch.cpp:417-424``), else rebuild it.
+
+    Exactness: the carry is reused only when (a) the grid box/cell size
+    are unchanged (hysteresis kept the previous grid), (b) every point's
+    padded linear cell id equals its value at build time, and (c) in
+    variable mode every radius is unchanged.  Under (a)+(b) a stable
+    re-sort would reproduce the carried permutation exactly, so every
+    derived structure (table, layout, descriptors) is bit-identical to a
+    rebuild.  Requires ``_pallas_applicable(cfg, knobs)``.
+    """
+    assert _pallas_applicable(cfg, knobs) and cfg.n_points > 0
+    prev = state
+    state = update_grid(state, points, cell_size)
+    same_grid = (prev.valid
+                 & jnp.all(state.grid_min == prev.grid_min)
+                 & jnp.all(state.n_cells == prev.n_cells)
+                 & (state.cell_size == prev.cell_size))
+    lin, _, _, _ = _padded_lin(points, state, cfg, knobs)
+    same = carry.valid & same_grid & jnp.all(
+        lin[carry.idx_s] == carry.lin_s)
+    if cfg.variable:
+        same = same & jnp.all(radii[carry.idx_s] == carry.r_chk)
+    carry = jax.lax.cond(
+        same,
+        lambda: carry._replace(valid=jnp.ones((), jnp.bool_)),
+        lambda: _pallas_prep(points, radii, state, cfg, knobs))
+    sol = _pallas_search(points, radii, search_radius, state, carry,
+                         cfg, knobs)
+    sol["rebuilt"] = jnp.logical_not(same).astype(jnp.int32)
+    return sol, state, carry
+
+
+@partial(jax.jit, static_argnames=("cfg", "knobs"))
+def build_and_search_fast_carry_jit(points, radii, search_radius, cell_size,
+                                    state, carry, cfg: SearchConfig,
+                                    knobs: FastKnobs):
+    return build_and_search_fast_carry(points, radii, search_radius,
+                                       cell_size, state, carry, cfg, knobs)
+
+
 def build_and_search_fast(points: jnp.ndarray,
                           radii: Optional[jnp.ndarray],
                           search_radius: jnp.ndarray,
@@ -170,6 +766,14 @@ def build_and_search_fast(points: jnp.ndarray,
         sol["tile_overflow"] = jnp.zeros((), jnp.int32)
         return sol, state
 
+    if _pallas_applicable(cfg, knobs):
+        carry = _pallas_prep(points, radii, state, cfg, knobs)
+        sol = _pallas_search(points, radii, search_radius, state, carry,
+                             cfg, knobs)
+        return sol, state
+
+    # ------------------------- XLA tile path -----------------------------
+    # fallback for sparse domains / > 8 candidate sets / CPU
     w = cfg.stencil_w
     tile, group, wcap = knobs.tile, knobs.group, knobs.wcap
     dense_cap = knobs.dense_cap
@@ -181,7 +785,8 @@ def build_and_search_fast(points: jnp.ndarray,
     # overflow check in float to avoid int32 wrap on huge sparse domains
     dense_size_f = (dx.astype(jnp.float32) * dy.astype(jnp.float32)
                     * dz.astype(jnp.float32))
-    dense_overflow = (dense_size_f > jnp.float32(dense_cap - 1)).astype(jnp.int32)
+    dense_overflow = (dense_size_f
+                      > jnp.float32(dense_cap - 1)).astype(jnp.int32)
 
     inv_cell = 1.0 / state.cell_size
     ijk = K.quantize(points, state.grid_min, inv_cell, state.n_cells)
@@ -214,7 +819,8 @@ def build_and_search_fast(points: jnp.ndarray,
 
     offsets_arr = np.asarray(cfg.set_offsets, np.int32)
     r2_fixed = (search_radius * search_radius).astype(jnp.float32)
-    offs_2d = [(di, dj) for di in range(-w, w + 1) for dj in range(-w, w + 1)]
+    offs_2d = [(di, dj) for di in range(-w, w + 1)
+               for dj in range(-w, w + 1)]
     n_ranges = len(offs_2d)
     m_width = n_ranges * wcap
     slot_in_win = jnp.arange(wcap, dtype=jnp.int32)[None, :]
@@ -222,249 +828,6 @@ def build_and_search_fast(points: jnp.ndarray,
     n_tiles = -(-n // tile)
     n_groups = -(-n_tiles // group)
     k_sel = cfg.nbr_cap
-
-    # memory gate: the padded record array costs 512/pack bytes per point
-    # (~2 GB ceiling); beyond it the XLA tile path serves
-    pallas_ok = (knobs.use_pallas and 1 <= len(cfg.active_pairs) <= 4
-                 and n <= (1 << 22) * knobs.pack and w <= 3)
-    if pallas_ok:
-        from .pallas_pairs import (DESC_W, FAT_COL, LENS_OFF, N_FIELDS,
-                                   SENTINEL, TILE as PTILE, make_pairs_call)
-
-        from ..config import round_up
-
-        n_win = n_ranges  # one window per (di, dj): cell-run tiles
-        pack = knobs.pack
-        # window caps must tile the packed record rows (8 sublanes/vreg)
-        wcap = round_up(wcap, 8 * pack)
-        fat_wcap = round_up(knobs.fat_wcap, 8 * pack)
-        fat_cap = knobs.fat_cap
-        # narrow-tier tiles per grid step (amortizes the per-step pipeline
-        # overhead, benchmarks/split_v3.py skip=3; G=8 over-unrolls the
-        # kernel body — 2 measured best at 1M)
-        TPS = int(os.environ.get("TNS_TPS", "2"))
-        tiles_cap = round_up(knobs.tiles_cap if knobs.tiles_cap > 0 else
-                             default_tiles_cap(n), TPS)
-        NPAD = tiles_cap * PTILE
-
-        # ---- row-aligned padded layout (see ops/pallas_pairs.py) -------
-        # every occupied grid row ((i, j) fixed) is padded to a multiple
-        # of PTILE slots, so each 128-slot tile lies in exactly one row.
-        rid = lin_s // dz                      # padded grid-row id
-        r_idx = jnp.arange(dense_cap + 1, dtype=jnp.int32)
-        r_eff = jnp.minimum(r_idx, dense_cap // dz + 1)  # avoid i32 wrap
-        row_starts = table[jnp.minimum(r_eff * dz, dense_cap)]
-        row_pads = (-(row_starts[1:] - row_starts[:-1])) % PTILE
-        pads_inc = _blocked_cumsum(row_pads)
-        pads_exc = pads_inc - row_pads
-        npad_total = n + pads_inc[-1]
-        tile_overflow = (npad_total > NPAD).astype(jnp.int32)
-        pp = jnp.minimum(iota + pads_exc[rid], NPAD - 1)  # padded slot
-
-        # ---- per-tile row/k extents -------------------------------------
-        # a tile lies in ONE grid row, so min/max of the linear key give
-        # both the row id and the k-extent: two scatter-reduces total
-        tile_of = pp // PTILE
-        lmin = jnp.full((tiles_cap,), jnp.int32(np.iinfo(np.int32).max)
-                        ).at[tile_of].min(lin_s)
-        lmax = jnp.full((tiles_cap,), -1, jnp.int32).at[tile_of].max(lin_s)
-        has = (lmax >= 0).astype(jnp.int32)
-        trow = jnp.where(has > 0, lmin // dz, 0)
-        k0 = lmin - trow * dz
-        k1 = jnp.maximum(lmax - trow * dz, 0)
-
-        # ---- local stencil reach (variable mode) ------------------------
-        # the static stencil W = ceil(r_max_global/cell) bounds the
-        # (di, dj) loop, but each tile only reaches as far as
-        # max(its own max radius, the neighbor row's max radius) — the
-        # role of the reference's per-cell max radii driving local ghost
-        # width (TreeNSearch.cpp:781-835,1457-1466).  Windows beyond the
-        # local reach get length 0 and are skipped inside the kernel.
-        if cfg.variable:
-            row_rmax = jnp.zeros((dense_cap,), jnp.float32).at[rid].max(r_s)
-            tile_rmax = jnp.zeros((tiles_cap,), jnp.float32
-                                  ).at[tile_of].max(r_s)
-
-        # ---- window descriptors: one k-run per (di, dj) -----------------
-        # window = sorted range [table[row' + k0 - w], table[row' + k1+w+1])
-        # of neighbor row row' = trow + di*dy + dj; windows of distinct
-        # (di, dj) are disjoint, so the kernel needs no stencil recompute.
-        starts_l, lens_l = [], []
-        for (di, dj) in offs_2d:
-            rp = jnp.clip(trow + di * dy + dj, 0, dense_cap // dz)
-            base = jnp.minimum(rp * dz, dense_cap)
-            if cfg.variable:
-                reach = jnp.maximum(tile_rmax, row_rmax[rp])
-                w_need = jnp.clip(
-                    jnp.ceil(reach * inv_cell - 1e-6).astype(jnp.int32),
-                    1, w)
-                ok = (max(abs(di), abs(dj)) <= w_need).astype(jnp.int32)
-                wk = w_need
-            else:
-                ok, wk = 1, w
-            s = table[jnp.clip(base + k0 - wk, 0, dense_cap)]
-            e = table[jnp.clip(base + k1 + wk + 1, 0, dense_cap)]
-            lens_l.append(jnp.maximum(e - s, 0) * has * ok)
-            # window starts index the UNPADDED sorted records: only the
-            # query tiling needs row alignment, windows use exact ranges
-            starts_l.append(jnp.clip(s, 0, n))
-        starts = jnp.stack(starts_l, axis=1)
-        lens = jnp.stack(lens_l, axis=1)
-        win_max = jnp.max(lens)
-
-        # ---- fat tier routing -------------------------------------------
-        # packed DMAs start at the row floor of the first slot, so a
-        # tier's effective capacity is its wcap minus (pack-1)
-        fat_mask = jnp.max(lens, axis=1) > (wcap - (pack - 1))
-        n_fat = jnp.sum(fat_mask.astype(jnp.int32))
-        fat_overflow = (n_fat > fat_cap) | (win_max > fat_wcap - (pack - 1))
-        rank = jnp.cumsum(fat_mask.astype(jnp.int32))
-        tile_ids = jnp.arange(tiles_cap, dtype=jnp.int32)
-        fat_ids = jnp.full((fat_cap,), tiles_cap, jnp.int32).at[
-            jnp.where(fat_mask & (rank <= fat_cap), rank - 1, fat_cap)
-        ].set(tile_ids, mode="drop")
-        # tile -> fat slot (-1 = narrow), for select-at-gather merging
-        fat_slot = jnp.where(fat_mask & (rank <= fat_cap), rank - 1, -1)
-
-        nt8 = -(-(tiles_cap + 1) // 8) * 8  # +1 dummy tile: padded fat ids
-        desc = jnp.zeros((nt8, DESC_W), jnp.int32)
-        desc = desc.at[:tiles_cap, :n_win].set(starts)
-        desc = desc.at[:tiles_cap, LENS_OFF:LENS_OFF + n_win].set(lens)
-        desc = desc.at[:tiles_cap, FAT_COL].set(fat_mask.astype(jnp.int32))
-
-        # ---- padded record arrays ---------------------------------------
-        # Record arrays are INT32-typed: coordinates ride as f32 bit
-        # patterns bitcast into ints and indices/set ids are plain ints.
-        # The reverse (ints bitcast into f32 lanes) is UNSOUND on TPU:
-        # indices < 2^23 are f32 denormals and the hardware flushes them
-        # to zero in float relayouts (observed at 1M: every candidate
-        # orig read 0, turning off self-exclusion).  Integer moves never
-        # flush, and any f32 pattern is a valid int32.
-        # Padding slots carry sentinel records: far coords kill the
-        # distance test, orig = n makes sentinels self-exclude each other.
-        def _asbits(x):
-            return jax.lax.bitcast_convert_type(x, jnp.int32)
-
-        rfield = r_s if cfg.variable else jnp.zeros((n,), jnp.float32)
-        rec8 = jnp.stack([_asbits(pts_s[:, 0]), _asbits(pts_s[:, 1]),
-                          _asbits(pts_s[:, 2]), _asbits(rfield),
-                          idx_s, set_id_s,
-                          jnp.zeros((n,), jnp.int32),
-                          jnp.zeros((n,), jnp.int32)], axis=1)
-        sent_xyz = jax.lax.bitcast_convert_type(jnp.float32(SENTINEL),
-                                                jnp.int32)
-        sent = jnp.zeros((N_FIELDS,), jnp.int32)
-        sent = sent.at[0].set(sent_xyz).at[1].set(sent_xyz).at[2].set(
-            sent_xyz)
-        sent = sent.at[4].set(jnp.int32(n))
-        sent = sent.at[5].set(jnp.int32(-1))
-        slack = max(wcap, fat_wcap, PTILE)
-        # candidate records stay in plain sorted order (contiguous build,
-        # no scatter) with a sentinel tail for window overreads; `pack`
-        # points per 128-lane row (sublane-dim row DMAs take exact
-        # unaligned starts; lane-dim needs 128 alignment — see
-        # ops/pallas_pairs.py docstring)
-        lpp = 128 // pack
-        tail = slack + (-n % pack)
-        rec_lp = jnp.pad(
-            jnp.concatenate([rec8, jnp.broadcast_to(sent,
-                                                    (tail, N_FIELDS))]),
-            ((0, 0), (0, lpp - N_FIELDS)))
-        rec_pad = rec_lp.reshape(-1, 128)
-        # queries DO need lane alignment: build the row-aligned layout as
-        # a 1-D index scatter + ROW GATHER — a direct (n, 8) row scatter
-        # runs on the scatter engine at ~10 GB/s and costs ~45 ms/step at
-        # 1M (benchmarks/recbuild_probe.py); this formulation is ~3 ms.
-        # (one extra all-sentinel tile: the fat tier's padded ids point
-        # at dummy tile `tiles_cap`)
-        gidx = jnp.full((NPAD + PTILE,), n, jnp.int32).at[pp].set(iota)
-        rec8x = jnp.concatenate([rec8, sent[None]])
-        q_t = rec8x[jnp.minimum(gidx, n)].T   # (8, NPAD+128)
-
-        params = jnp.zeros((8, DESC_W), jnp.float32).at[0, 0].set(r2_fixed)
-
-        k8 = -(-k_sel // 8) * 8  # kernel output rows need 8-row tiling
-        pre_cap = min(knobs.pre_cap, k8)
-        narrow = make_pairs_call(wcap, pre_cap, k8, n_win,
-                                 cfg.variable, cfg.symmetric,
-                                 active_pairs=cfg.active_pairs,
-                                 set_offsets=cfg.set_offsets,
-                                 fat_tier=False, interpret=knobs.interpret,
-                                 pack=pack, skip_stage=knobs.skip_stage,
-                                 val_bound=max(cfg.set_sizes),
-                                 tiles_per_step=TPS)
-        outs_n = narrow(tiles_cap, desc, params, q_t, rec_pad)
-        fat = make_pairs_call(fat_wcap, pre_cap, k8, n_win,
-                              cfg.variable, cfg.symmetric,
-                              active_pairs=cfg.active_pairs,
-                              set_offsets=cfg.set_offsets,
-                              fat_tier=True, interpret=knobs.interpret,
-                              pack=pack, skip_stage=knobs.skip_stage,
-                              val_bound=max(cfg.set_sizes))
-        outs_f = fat(fat_cap, desc, params, q_t, rec_pad, ids=fat_ids)
-
-        # original order -> sorted slot -> padded slot, composed into ONE
-        # gather per output (no (N, k8)-sized intermediates: matters at 10M)
-        inv_perm = jnp.zeros((n,), jnp.int32).at[idx_s].set(
-            iota, unique_indices=True)
-        pre_surv = jnp.zeros((), jnp.int32)
-        pairs = {}
-        for p, (si, sj) in enumerate(cfg.active_pairs):
-            cnt_n, nbr_n = outs_n[2 * p], outs_n[2 * p + 1]
-            cnt_f, nbr_f = outs_f[2 * p], outs_f[2 * p + 1]
-            # merge tiers by SELECT at gather time: a scatter of the fat
-            # rows over the narrow output would copy the whole multi-GB
-            # narrow array (measured OOM at 10M)
-            counts_all = cnt_n[0::8]
-            counts_fat = cnt_f[0::8]
-            name = _pair_name(si, sj)
-            n_i = cfg.set_sizes[si]
-            if n_i > 0:
-                rows_sorted = jax.lax.dynamic_slice_in_dim(
-                    inv_perm, cfg.set_offsets[si], n_i)
-                ppos = pp[rows_sorted]
-                t_i, lane = ppos // PTILE, ppos % PTILE
-                fs = fat_slot[t_i]
-                counts = jnp.where(
-                    fs >= 0,
-                    counts_fat[jnp.maximum(fs, 0), lane],
-                    counts_all[t_i, lane])
-                max_count = jnp.max(counts)
-                # neighbor rows stay in tile layout + per-point pointer
-                # (see materialize_nbrs); at 10M the per-point gather
-                # alone is ~4 GB, so it runs only on demand
-                pairs[name] = {
-                    "counts": counts, "max_count": max_count,
-                    "nbrs_tiles": nbr_n.reshape(tiles_cap, k8, PTILE),
-                    "nbrs_fat": nbr_f.reshape(fat_cap, k8, PTILE),
-                    "fat_slot": fat_slot, "qpos": ppos}
-            else:
-                pairs[name] = {
-                    "counts": jnp.zeros((0,), jnp.int32),
-                    "nbrs": jnp.zeros((0, k_sel), jnp.int32),
-                    "max_count": jnp.zeros((), jnp.int32)}
-            pre_surv = jnp.maximum(
-                pre_surv, jnp.maximum(jnp.max(cnt_n[1::8]),
-                                      jnp.max(cnt_f[1::8])))
-
-        if n > 1:
-            n_cells_stat = 1 + jnp.sum(lin_s[1:] != lin_s[:-1])
-        else:
-            n_cells_stat = jnp.asarray(n, jnp.int32)
-        sol = {
-            "pairs": pairs,
-            "cand_max": jnp.where(fat_overflow, win_max, 0),
-            "n_cells": n_cells_stat,
-            "error": state.error,
-            "dense_overflow": dense_overflow,
-            "straddle": jnp.zeros((), jnp.int32),
-            "pallas_used": jnp.ones((), jnp.int32),
-            # max survivors in any single window (row 1 of the counts
-            # blocks): > pre_cap means pre-compaction truncated -> regrow
-            "pre_surv_max": pre_surv,
-            "tile_overflow": tile_overflow,
-        }
-        return sol, state
 
     def tile_body(t):
         """One tile of `tile` consecutive sorted query points.

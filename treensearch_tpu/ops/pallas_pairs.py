@@ -1,4 +1,5 @@
-"""Fused Pallas TPU kernel for the pair-search hot loop (v3: cell-run tiles).
+"""Fused Pallas TPU kernel for the pair-search hot loop (v4: cell-run tiles
++ candidate-set output blocks).
 
 Role of the reference's ``_brute_force_simd`` + ``_prepare_brute_force_simd``
 (``TreeNSearch.cpp:2161-2569``): for each tile of 128 sorted query points,
@@ -25,6 +26,24 @@ where [k0, k1] is the tile's k-extent.  Consequences, all load-bearing:
     are excluded by the distance test against any real point and by the
     self-exclusion test against each other — no validity lanes needed.
 
+v4 additions (round 3):
+
+  - CANDIDATE-SET OUTPUT BLOCKS: the neighbor set of query q against
+    candidate set sj does not depend on which set q belongs to (the
+    active matrix only selects WHICH (set_i, set_j) lists exist — the
+    geometry mask, self-exclusion and the symmetric OR rule are all
+    set_i-independent).  So the kernel emits one counts+neighbors block
+    per DISTINCT candidate set sj instead of one per active pair; the
+    host maps pair (si, sj) -> block(sj) and gathers set_i's rows.  A
+    3-set all-active matrix (9 pairs) costs 3 compactions per window,
+    not 9, and the r2 "<= 4 active pairs" gate becomes "<= 8 distinct
+    candidate sets" (any pair matrix over <= 8 sets).
+  - ASYMMETRIC PER-WINDOW PRE-CAPS: the center (di=dj=0) window holds
+    each query's own cell column and collects far more survivors than
+    edge windows, so per-window staging widths are (center_cap, edge_cap)
+    instead of uniform — the final merge network shrinks ~2x.  Separate
+    device maxima (counts rows 1 and 2) drive separate regrows.
+
 Measured v5e facts that still shape the layout (benchmarks/, 2026-08-16):
   - sublane-dim DMA of a (N, 128) array takes exact UNALIGNED dynamic
     starts; lane-dim slices need 128 alignment -> candidate records are
@@ -44,10 +63,11 @@ those whose widest window exceeds it; a "fat" kernel with a large wcap
 re-runs just those tiles, addressed through a scalar-prefetched tile-id
 list (``PrefetchScalarGridSpec`` indirect block indexing).
 
-Multi-set: the geometry mask is computed once per window; each active
-(set_i, set_j) pair applies its set conditions and compacts into its own
-outputs (set_j-local indices via the static set offsets).  Gated to <= 4
-active pairs (VMEM scratch); larger matrices use the XLA fast path.
+Output contract: the ``nbrs`` blocks of tiles a tier skips (fat tiles in
+the narrow tier, dummy-id grid steps in the fat tier) are UNDEFINED memory
+unless ``skip_stage`` forces the -1 fill — consumers must select the tier
+at gather time via ``fat_slot`` (``ops/fastpath.py`` does), and benchmarks
+must checksum counts, not raw nbr blocks.
 """
 
 from __future__ import annotations
@@ -60,12 +80,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# dev A/B toggles (read at trace time); measured at 1M on v5e
-# (benchmarks/ab_1m.py, 2026-08-17): MXU prefix -30 ms/step, packed
-# carry +13 ms/step (the carry-plane bookkeeping costs more than the
-# saved rotate), so MXU on / packed off by default.
-_USE_MXU_PREFIX = os.environ.get("TNS_MXU_PREFIX", "1") == "1"
-_USE_PACKED_CARRY = os.environ.get("TNS_PACKED_CARRY", "0") == "1"
+# Process-start defaults for the A/B toggles; the live values are threaded
+# through ``FastKnobs`` (part of the jit cache key) — see ops/fastpath.py.
+# Measured at 1M on v5e (benchmarks/ab_1m.py, 2026-08-17): MXU prefix
+# -30 ms/step, packed carry +13 ms/step.
+DEFAULT_MXU_PREFIX = os.environ.get("TNS_MXU_PREFIX", "1") == "1"
+DEFAULT_PACKED_CARRY = os.environ.get("TNS_PACKED_CARRY", "0") == "1"
 
 F_X, F_Y, F_Z, F_R, F_ORIG, F_SET = 0, 1, 2, 3, 4, 5
 N_FIELDS = 8    # padded to 8 record columns
@@ -109,7 +129,9 @@ def _mask_prefix_mxu(mask: jnp.ndarray) -> jnp.ndarray:
 
 
 def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
-                 p: jnp.ndarray = None, val_bound: int = 1 << 30):
+                 p: jnp.ndarray = None, val_bound: int = 1 << 30,
+                 mxu_prefix: bool = DEFAULT_MXU_PREFIX,
+                 packed_carry: bool = DEFAULT_PACKED_CARRY):
     """Front-pack masked values along sublanes, order preserving.
 
     Displacements are monotone along the axis so moving by ascending
@@ -121,12 +143,12 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
     m, q = mask.shape
     sub = jax.lax.broadcasted_iota(jnp.int32, (m, q), 0)
     if p is None:
-        p = _mask_prefix_mxu(mask) if _USE_MXU_PREFIX else \
+        p = _mask_prefix_mxu(mask) if mxu_prefix else \
             _cumsum_sub(mask.astype(jnp.int32), m)
     keep = mask & (p <= out_w)
 
     sh = 31 - (m + 1).bit_length()
-    if _USE_PACKED_CARRY and 0 <= val_bound <= (1 << sh) - 1:
+    if packed_carry and 0 <= val_bound <= (1 << sh) - 1:
         # packed carry: c = (displacement+1) << sh | value; 0 = invalid
         e = jnp.where(keep, sub - (p - 1) + 1, 0)
         c = jnp.where(keep, (e << sh) | vals, 0)
@@ -156,12 +178,15 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
     return jnp.where(d >= 0, v, -1)[:out_w, :]
 
 
-def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
+def make_pairs_call(wcap: int, pre_caps, nbr_cap: int, n_win: int,
                     variable: bool, symmetric: bool,
-                    active_pairs=((0, 0),), set_offsets=(0,),
+                    cand_sets=(0,), cand_offsets=(0,),
+                    multi_set: bool = False, center_win: int = None,
                     fat_tier: bool = False, interpret: bool = False,
                     pack: int = 1, skip_stage: int = 0,
-                    val_bound: int = 1 << 30, tiles_per_step: int = 1):
+                    val_bound: int = 1 << 30, tiles_per_step: int = 1,
+                    mxu_prefix: bool = DEFAULT_MXU_PREFIX,
+                    packed_carry: bool = DEFAULT_PACKED_CARRY):
     """Build a pallas_call for one tier.
 
     Narrow tier (``fat_tier=False``): grid over all tiles; tiles whose
@@ -176,19 +201,32 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
     layout's effective window capacity is wcap - (pack-1) because the DMA
     starts at the row floor of the window's first slot.
 
-    Outputs: per active pair, a counts block (row 0 = neighbor counts,
-    row 1 = max per-window survivors for pre_cap regrow) and a padded-CSR
+    ``pre_caps``: per-window staging widths (tuple of n_win multiples of
+    8); the center window typically needs the largest.
+
+    ``cand_sets``: the distinct candidate (set_j) values to emit blocks
+    for; ``cand_offsets[b]`` rebases block b's indices to set-local.
+
+    Outputs: per candidate set, a counts block (row 0 = neighbor counts,
+    row 1 = max survivors in the center window, row 2 = max survivors in
+    any edge window — the pre-cap regrow signals) and a padded-CSR
     neighbor block.
     """
-    n_pairs = len(active_pairs)
-    multi_set = len(set_offsets) > 1
+    n_blocks = len(cand_sets)
     assert n_win <= LENS_OFF, "pallas kernel supports stencil_w <= 3"
     assert nbr_cap % 8 == 0, "pallas nbr_cap must be a multiple of 8"
-    assert n_pairs <= 4, "pallas kernel supports <= 4 active pairs"
+    assert 1 <= n_blocks <= 8, "pallas kernel supports <= 8 candidate sets"
     assert 128 % pack == 0 and 128 // pack >= N_FIELDS
     assert wcap % (8 * pack) == 0, "wcap must tile the packed rows"
-    pre_cap = min(pre_cap, wcap)  # a window holds at most wcap survivors
-    m2 = n_win * pre_cap
+    pre_caps = tuple(min(pc, wcap) for pc in pre_caps)
+    assert len(pre_caps) == n_win and all(pc % 8 == 0 and pc > 0
+                                          for pc in pre_caps)
+    if center_win is None:
+        center_win = n_win // 2
+    pc_off = [0]
+    for pc in pre_caps:
+        pc_off.append(pc_off[-1] + pc)
+    m2 = pc_off[-1]
     lpp = 128 // pack          # lanes per point
     wrows = wcap // pack       # DMA rows per window
 
@@ -219,7 +257,6 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
             qy = _f32(qt_ref[F_Y:F_Y + 1, qo:qo + TILE])
             qz = _f32(qt_ref[F_Z:F_Z + 1, qo:qo + TILE])
             q_orig = qt_ref[F_ORIG:F_ORIG + 1, qo:qo + TILE]
-            q_set = qt_ref[F_SET:F_SET + 1, qo:qo + TILE]
             my_r2 = _f32(qt_ref[F_R:F_R + 1, qo:qo + TILE]) ** 2
 
             sub_r = jax.lax.broadcasted_iota(jnp.int32, (wrows, TILE), 0)
@@ -233,10 +270,10 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                 ln = desc_ref[row, LENS_OFF + w]
                 phase0 = desc_ref[row, w] % pack  # first slot's lane group
 
-                for p in range(n_pairs):
-                    outc[p * m2 + w * pre_cap:
-                         p * m2 + (w + 1) * pre_cap, :] = \
-                        jnp.full((pre_cap, TILE), -1, jnp.int32)
+                for b in range(n_blocks):
+                    outc[b * m2 + pc_off[w]:
+                         b * m2 + pc_off[w + 1], :] = \
+                        jnp.full((pre_caps[w], TILE), -1, jnp.int32)
 
                 @pl.when(ln > 0)
                 def _(w=w, ln=ln, phase0=phase0):
@@ -287,56 +324,65 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                         wo_b = jnp.concatenate(all_vals, axis=0)
                         ws = jnp.concatenate(all_ws, axis=0) \
                             if multi_set else None
-                    for p, (si, sj) in enumerate(active_pairs):
+                    surv_row = 1 if w == center_win else 2
+                    for b in range(n_blocks):
                         pm = mask_geo
                         if multi_set:
-                            pm = pm & (q_set == si) & (ws == sj)
-                        if _USE_MXU_PREFIX:
+                            pm = pm & (ws == cand_sets[b])
+                        if mxu_prefix:
                             prefix = _mask_prefix_mxu(pm)
-                            wsum = prefix[wcap - 1:wcap, :]
+                            wsum = prefix[mask_geo.shape[0] - 1:, :]
                         else:
                             prefix = None
                             wsum = jnp.sum(pm.astype(jnp.int32), axis=0,
                                            keepdims=True)
-                        cref = out_refs[2 * p]
+                        cref = out_refs[2 * b]
                         cref[co:co + 1, :] = cref[co:co + 1, :] + wsum
-                        # row 1: max per-window survivors (pre_cap regrow)
-                        cref[co + 1:co + 2, :] = jnp.maximum(
-                            cref[co + 1:co + 2, :], wsum)
+                        # rows 1/2: max center/edge window survivors
+                        # (the pre-cap regrow signals)
+                        cref[co + surv_row:co + surv_row + 1, :] = \
+                            jnp.maximum(
+                                cref[co + surv_row:co + surv_row + 1, :],
+                                wsum)
                         if skip_stage < 1:  # dev knob: stage attribution
-                            outc[p * m2 + w * pre_cap:
-                                 p * m2 + (w + 1) * pre_cap, :] = \
-                                _compact_sub(pm, wo_b - set_offsets[sj],
-                                             pre_cap, p=prefix,
-                                             val_bound=val_bound)
+                            outc[b * m2 + pc_off[w]:
+                                 b * m2 + pc_off[w + 1], :] = \
+                                _compact_sub(pm, wo_b - cand_offsets[b],
+                                             pre_caps[w], p=prefix,
+                                             val_bound=val_bound,
+                                             mxu_prefix=mxu_prefix,
+                                             packed_carry=packed_carry)
 
             if skip_stage < 2:
-                for p in range(n_pairs):
-                    merged = outc[p * m2:(p + 1) * m2, :]
+                for b in range(n_blocks):
+                    merged = outc[b * m2:(b + 1) * m2, :]
                     k_out = min(nbr_cap, m2)  # block rows beyond stay -1
-                    out_refs[2 * p + 1][no:no + k_out, :] = _compact_sub(
-                        merged >= 0, merged, k_out, val_bound=val_bound)
+                    out_refs[2 * b + 1][no:no + k_out, :] = _compact_sub(
+                        merged >= 0, merged, k_out, val_bound=val_bound,
+                        mxu_prefix=mxu_prefix, packed_carry=packed_carry)
 
     G = 1 if fat_tier else tiles_per_step
 
     def _init_outs(out_refs):
-        for p in range(n_pairs):
-            out_refs[2 * p][:, :] = jnp.zeros((8 * G, TILE), jnp.int32)
+        if skip_stage >= 4:   # dev: measure the pure pipeline (no writes)
+            return
+        for b in range(n_blocks):
+            out_refs[2 * b][:, :] = jnp.zeros((8 * G, TILE), jnp.int32)
             # the nbr block needs no -1 fill on the fast path: the merge
             # writes rows [0, min(nbr_cap, m2)) for every processed tile
             # (counts <= m2 by the pre_cap regrow contract) and skipped
             # tiles' rows are never consumed (tier selection at gather);
             # attribution modes skip the merge, so fill then for
             # determinism
-            if skip_stage >= 1 or min(nbr_cap, m2) < nbr_cap:
-                out_refs[2 * p + 1][:, :] = jnp.full(
+            if 1 <= skip_stage or min(nbr_cap, m2) < nbr_cap:
+                out_refs[2 * b + 1][:, :] = jnp.full(
                     (nbr_cap * G, TILE), -1, jnp.int32)
 
     if fat_tier:
         def kernel(ids_ref, desc_ref, params_ref, qt_ref, rec_ref,
                    *rest):
-            out_refs = rest[:2 * n_pairs]
-            win, outc, sems = rest[2 * n_pairs:]
+            out_refs = rest[:2 * n_blocks]
+            win, outc, sems = rest[2 * n_blocks:]
             row = ids_ref[pl.program_id(0)] % 8
             _init_outs(out_refs)
             body(desc_ref, row, params_ref, qt_ref, 0, rec_ref, out_refs,
@@ -345,8 +391,8 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
         assert G in (1, 2, 4, 8)
 
         def kernel(desc_ref, params_ref, qt_ref, rec_ref, *rest):
-            out_refs = rest[:2 * n_pairs]
-            win, outc, sems = rest[2 * n_pairs:]
+            out_refs = rest[:2 * n_blocks]
+            win, outc, sems = rest[2 * n_blocks:]
             _init_outs(out_refs)
             if G == 8:
                 for g in range(8):
@@ -362,7 +408,7 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
 
     scratch = [
         pltpu.VMEM((n_win, wrows, 128), jnp.int32),
-        pltpu.VMEM((n_pairs * m2, TILE), jnp.int32),
+        pltpu.VMEM((n_blocks * m2, TILE), jnp.int32),
         pltpu.SemaphoreType.DMA((n_win,)),
     ]
 
@@ -371,10 +417,10 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
         assert fat_tier or n_tiles % G == 0
         n_grid = n_tiles if fat_tier else n_tiles // G
         out_shape = [
-            # counts ride in rows 0/1 of an 8-row group per tile
+            # counts ride in rows 0/1/2 of an 8-row group per tile
             jax.ShapeDtypeStruct((n_tiles * 8, TILE), jnp.int32),
             jax.ShapeDtypeStruct((n_tiles * nbr_cap, TILE), jnp.int32),
-        ] * n_pairs
+        ] * n_blocks
         if fat_tier:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -395,7 +441,7 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((nbr_cap, TILE), lambda t, ids: (t, 0),
                                  memory_space=pltpu.VMEM),
-                ] * n_pairs,
+                ] * n_blocks,
                 scratch_shapes=scratch,
             )
             return pl.pallas_call(
@@ -421,7 +467,7 @@ def make_pairs_call(wcap: int, pre_cap: int, nbr_cap: int, n_win: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((nbr_cap * G, TILE), lambda t: (t, 0),
                              memory_space=pltpu.VMEM),
-            ] * n_pairs,
+            ] * n_blocks,
             scratch_shapes=scratch,
         )
         return pl.pallas_call(

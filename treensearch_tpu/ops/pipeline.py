@@ -117,15 +117,25 @@ def sorted_structure(points: jnp.ndarray,
     )
 
 
-def make_chunk_body(s: SortedStructure, cfg: SearchConfig):
+def make_chunk_body(s: SortedStructure, cfg: SearchConfig,
+                    queries: Optional[dict] = None):
     """Build the per-chunk search function: chunk id -> pair outputs.
 
     This is the hot loop (role of ``_brute_force_simd``,
     ``TreeNSearch.cpp:2400-2569``): stencil range search, candidate gather,
     distance mask, per-pair top-k compaction.
+
+    ``queries`` (optional) decouples the query points from the sorted
+    candidate structure: a dict with ``pts`` (m, 3), ``ijk`` (m, 3),
+    ``orig`` (m,), ``set_id`` (m,) and (variable mode) ``r`` (m,).  The
+    sharded path uses this to search ONLY the device's owned points while
+    candidates include the halo records — without it the chunk loop runs
+    over the sorted structure itself (queries == candidates), as in the
+    single-device program.
     """
     n_real = cfg.n_points
     n_total = s.hi_s.shape[0]
+    n_q = queries["pts"].shape[0] if queries is not None else n_total
     w = cfg.stencil_w
     chunk = cfg.chunk
     cand_cap = cfg.cand_cap
@@ -136,16 +146,23 @@ def make_chunk_body(s: SortedStructure, cfg: SearchConfig):
 
     def chunk_body(c):
         base = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
-        base_c = jnp.minimum(base, n_total - 1)
-        my_orig = s.idx_s[base_c]
-        row_valid = (base < n_total) & (my_orig < n_real)
+        base_c = jnp.minimum(base, n_q - 1)
+        if queries is None:
+            q_orig_a, q_ijk, q_pts = s.idx_s, s.ijk_s, s.pts_s
+            q_set_a, q_r_a = s.set_id_s, s.r_s
+        else:
+            q_orig_a, q_ijk, q_pts = (queries["orig"], queries["ijk"],
+                                      queries["pts"])
+            q_set_a, q_r_a = queries["set_id"], queries.get("r")
+        my_orig = q_orig_a[base_c]
+        row_valid = (base < n_q) & (my_orig < n_real)
 
-        my_i = s.ijk_s[base_c, 0]
-        my_j = s.ijk_s[base_c, 1]
-        my_k = s.ijk_s[base_c, 2]
-        my_pos = s.pts_s[base_c]
-        my_set = s.set_id_s[base_c]
-        my_r2 = (s.r_s[base_c] ** 2) if cfg.variable else None
+        my_i = q_ijk[base_c, 0]
+        my_j = q_ijk[base_c, 1]
+        my_k = q_ijk[base_c, 2]
+        my_pos = q_pts[base_c]
+        my_set = q_set_a[base_c]
+        my_r2 = (q_r_a[base_c] ** 2) if cfg.variable else None
 
         # (2W+1)^2 contiguous candidate ranges per point: for each (di, dj)
         # the k-run [k-W, k+W] is one range in row-major key order.
