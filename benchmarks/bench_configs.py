@@ -34,9 +34,9 @@ def steady_state_ms(eng, pts, radii=None, iters=10):
             sol, st = step(st, p, r)
             name = next(iter(sol["pairs"]))
             pp = sol["pairs"][name]
-            nb = pp["nbrs"] if "nbrs" in pp else pp["nbrs_tiles"]
-            return st, acc + pp["counts"][0] + jnp.sum(nb[::17],
-                                                       dtype=jnp.int32)
+            # counts-only checksum (raw nbr tiles of skipped tiers are
+            # undefined by contract, ops/pallas_pairs.py)
+            return st, acc + jnp.sum(pp["counts"][::257], dtype=jnp.int32)
         return jax.lax.fori_loop(0, iters, body, (st, jnp.int32(0)))
 
     st, acc = loop(p, r, st0)
@@ -74,17 +74,35 @@ eng = TreeNSearch()
 eng.add_point_set(pts)
 eng.set_search_radius(r)
 eng.set_all_searches(True)
+eng.set_cell_size(1.0 * r)  # measured-best occupancy (benchmarks/sweep_v3)
 eng.prepare_zsort()
 pts = np.asarray(eng.apply_zsort(0, pts))
 eng.resize_point_set(0, pts)
 ms = steady_state_ms(eng, pts)
 report("sph_500k_step", ms, total_pairs(eng))
+# zsort cadence, host path: prepare + FUSED 3-array apply (one dispatch)
+vel = np.zeros((n, 3), np.float32)
+rho = np.zeros((n,), np.float32)
 t0 = time.perf_counter()
 eng.prepare_zsort()
-for _ in range(3):
-    eng.apply_zsort(0, pts)
+eng.apply_zsort_batch(0, [pts, vel, rho])
 zs = (time.perf_counter() - t0) * 1e3
-report("sph_500k_zsort_3arrays", zs, total_pairs(eng))
+report("sph_500k_zsort_3arrays", zs, total_pairs(eng),
+       {"note": "prepare + fused apply_zsort_batch of 3 arrays"})
+# in-graph fused zsort step (device-resident arrays, zero host sync)
+from treensearch_tpu.ops.zsort import make_zsort_step
+zstep = jax.jit(lambda p, a: make_zsort_step(1)([p], [a]))
+pd = jnp.asarray(pts)
+arrs = [jnp.asarray(vel), jnp.asarray(rho)]
+_o, _p, _a = zstep(pd, arrs)
+jax.block_until_ready(_p)
+t0 = time.perf_counter()
+for _ in range(10):
+    _o, _p, _a = zstep(pd, arrs)
+jax.block_until_ready(_p)
+zs2 = (time.perf_counter() - t0) / 10 * 1e3
+report("sph_500k_zsort_ingraph", zs2, total_pairs(eng),
+       {"note": "fused in-graph order+gather of positions+2 arrays"})
 
 # --- config 3: fluid + boundary, asymmetric active matrix
 nf, nb = 400_000, 100_000
@@ -108,9 +126,7 @@ def loop3(p, st):
         st, acc = carry
         sol, st = step(st, p)
         pp = sol["pairs"]["0-0"]
-        nb = pp["nbrs"] if "nbrs" in pp else pp["nbrs_tiles"]
-        return st, acc + pp["counts"][0] + jnp.sum(nb[::17],
-                                                   dtype=jnp.int32)
+        return st, acc + jnp.sum(pp["counts"][::257], dtype=jnp.int32)
     return jax.lax.fori_loop(0, 10, body, (st, jnp.int32(0)))
 
 st, acc = loop3(pcat, st0)
@@ -120,7 +136,7 @@ st, acc = loop3(pcat, st0)
 int(acc)
 ms = (time.perf_counter() - t0) / 10 * 1e3
 report("fluid_boundary_step", ms, total_pairs(eng),
-       {"note": "asymmetric active matrix, pallas multi-pair path"})
+       {"note": "asymmetric active matrix, pallas candidate-set blocks"})
 
 # --- config 4: variable radii, symmetric
 n4 = 250_000

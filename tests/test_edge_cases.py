@@ -14,6 +14,8 @@ from treensearch_tpu.oracle import BruteforceNSearch
     (0,), (1,), (2,), (7,), (16,), (17,),
     # pallas tile (=128) boundary cases
     (127,), (128,), (129,),
+    # 2-tile / row-padding boundaries (255/256/257 straddle two tiles)
+    (255,), (256,), (257,), (128, 128),
     (0, 0), (0, 5), (5, 0), (1, 1), (9, 16), (100, 3), (128, 1),
     (127, 2), (31, 97),
     (0, 1, 100), (4, 0, 9), (126, 1, 2),
@@ -77,8 +79,9 @@ def test_dynamic_emitter_churn():
     # add/remove/replace of points in 2 sets, oracle-compared each step.
     # Sizes CYCLE through a fixed schedule so XLA shape compiles are
     # reused across iterations (the reference's 10000 free-shape C++
-    # iterations would be 10000 recompiles here); 48 iterations cover
-    # each (n0, n1) shape pair several times with fresh random data.
+    # iterations would be 10000 recompiles here); 200 iterations cover
+    # each (n0, n1) shape pair many times with fresh random data — every
+    # one compared exactly against the O(n^2) oracle.
     rng = np.random.default_rng(11)
     sizes0 = (40, 45, 39, 45, 40, 1, 40, 128)
     sizes1 = (30, 30, 7, 30, 30, 30, 0, 30)
@@ -87,7 +90,7 @@ def test_dynamic_emitter_churn():
     eng.add_point_set(np.zeros((sizes1[0], 3), np.float32))
     eng.set_search_radius(0.25)
     eng.set_all_searches(True)
-    for it in range(48):
+    for it in range(200):
         p0 = rng.uniform(0, 1, (sizes0[it % 8], 3)).astype(np.float32)
         p1 = rng.uniform(0, 1, (sizes1[(it // 2) % 8], 3)).astype(
             np.float32)
@@ -132,3 +135,20 @@ def test_domain_overflow_raises():
     eng.set_all_searches(True)
     with pytest.raises(RuntimeError, match="cells per"):
         eng.run()
+
+
+def test_resize_same_buffer_is_noop():
+    # reference pointer-equality early-out (TreeNSearch.cpp:77-79): a
+    # resize with the same buffer and size must not invalidate anything
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(0, 1, (64, 3)).astype(np.float32)
+    eng = TreeNSearch()
+    eng.add_point_set(pts)
+    eng.set_search_radius(0.2)
+    eng.set_all_searches(True)
+    eng.run()
+    sol = eng._solution
+    eng.resize_point_set(0, pts)
+    assert eng._solution is sol
+    eng.resize_point_set(0, pts.copy())   # new buffer -> invalidates
+    assert eng._solution is None

@@ -44,7 +44,8 @@ from .ops.fastpath import (FastKnobs, _pallas_applicable, _pallas_statics,
                            make_fast_carry0)
 from .ops.grid import GridState, fresh_state
 from .ops.pipeline import build_and_search_jit
-from .ops.zsort import apply_order, zsort_order
+from .ops.zsort import (apply_order, apply_order_batch, zsort_order,
+                        zsort_orders)
 from .utils.keys import MAX_CELLS_PER_DIM
 
 import os as _os
@@ -97,6 +98,7 @@ class TreeNSearch:
         self._search_radius: Optional[float] = None
         self._cell_size: Optional[float] = None
         self._nbr_cap = _DEFAULT_NBR_CAP
+        self._nbr_caps: dict = {}      # per-candidate-set overrides
         self._cand_cap = _DEFAULT_CAND_CAP
         self._chunk = _DEFAULT_CHUNK
         self._chunk_scalar = _DEFAULT_CHUNK_SCALAR
@@ -168,6 +170,12 @@ class TreeNSearch:
             raise ValueError("resize must match the engine's radius mode")
         if radii is not None and np.shape(radii)[0] != n:
             raise ValueError("radii length must equal the number of points")
+        cur = self._sets[set_id]
+        if arr is cur.points and radii is cur.radii and n == cur.n:
+            # same buffers, same size: no-op, solution stays valid
+            # (reference pointer-equality early-out,
+            # TreeNSearch.cpp:77-79,90-92,107-109,126-128)
+            return
         self._sets[set_id] = _PointSet(arr, radii, n)
         self._invalidate()
 
@@ -232,8 +240,20 @@ class TreeNSearch:
             raise ValueError("chunk must be >= 8")
         self._chunk = int(chunk)
 
-    def set_neighbor_cap(self, cap: int) -> None:
-        self._nbr_cap = int(cap)
+    def set_neighbor_cap(self, cap: int, set_j: int = None) -> None:
+        """Padded neighbor-list cap.  With ``set_j`` the cap applies to
+        neighbor lists AGAINST that candidate set only — candidate sets of
+        very different density (fluid vs boundary) then get right-sized
+        outputs on the Pallas path instead of all paying the densest
+        set's footprint.  Caps auto-grow on overflow either way."""
+        if set_j is None:
+            self._nbr_cap = int(cap)
+        else:
+            self._require_set(set_j)
+            self._nbr_caps[set_j] = int(cap)
+
+    def _cap_of(self, sj: int) -> int:
+        return self._nbr_caps.get(sj, self._nbr_cap)
 
     def set_candidate_cap(self, cap: int) -> None:
         self._cand_cap = int(cap)
@@ -262,6 +282,13 @@ class TreeNSearch:
             raise ValueError("pack must be one of 1, 2, 4, 8, 16")
         self._pack = int(pack)
         self._pack_user = True
+
+    def set_prestage_caps(self, center: int, edge: int = None) -> None:
+        """Per-window pre-compaction staging widths of the Pallas kernel
+        (center window vs edge windows).  Auto-grown on overflow; presetting
+        them avoids regrow recompiles at very large N (minutes at 10M)."""
+        self._pre_cap = int(center)
+        self._pre_edge = int(edge if edge is not None else center)
 
     def set_tiles_per_step(self, tps: int) -> None:
         """Narrow-tier query tiles per Pallas grid step (pipeline-overhead
@@ -452,11 +479,17 @@ class TreeNSearch:
                     self._cand_cap = grown
                 sol = None  # release before re-running (10M solutions are GBs)
                 continue
-            max_count = max(
-                (int(p["max_count"]) for p in sol["pairs"].values()),
-                default=0)
-            if max_count > self._nbr_cap:
-                self._nbr_cap = round_up(int(max_count * 1.25) + 1, 16)
+            grew = False
+            for (si, sj) in cfg.active_pairs:
+                mc = int(sol["pairs"][f"{si}-{sj}"]["max_count"])
+                if mc > self._cap_of(sj):
+                    new_cap = round_up(int(mc * 1.25) + 1, 16)
+                    if sj in self._nbr_caps or self._nbr_caps:
+                        self._nbr_caps[sj] = new_cap
+                    else:
+                        self._nbr_cap = new_cap
+                    grew = True
+            if grew:
                 sol = None  # release before re-running (10M solutions are GBs)
                 continue
             if use_fast and int(sol.get("pallas_used", 0)) != 0:
@@ -499,8 +532,12 @@ class TreeNSearch:
             hist = np.asarray(sol["win_hist"])
             total = int(hist.sum())
             if total > 0:
+                # p95 of nonzero window lengths: measured best at 1M
+                # (192 -> 176 ms vs 288 -> 190 ms, benchmarks/probe_r3e);
+                # the ~2% of tiles whose windows spill route to the
+                # auto-growing fat tier
                 cum = np.cumsum(hist)
-                idx = int(np.searchsorted(cum, 0.998 * total))
+                idx = int(np.searchsorted(cum, 0.95 * total))
                 tuned = max(64, round_up((idx + 1) * 32, 8))
                 if tuned < self._wcap * 0.88 or tuned > self._wcap:
                     self._wcap = tuned
@@ -508,7 +545,7 @@ class TreeNSearch:
         if not self._dense_snug:
             k = np.asarray(state.n_cells).astype(np.int64)
             needed = int((k[0] + 2 * w) * (k[1] + 2 * w) * (k[2] + 2 * w))
-            snug = 1 << max(16, int(np.ceil(np.log2(max(needed, 1) * 1.5))))
+            snug = 1 << max(16, int(np.ceil(np.log2(max(needed, 1) * 1.35))))
             if snug < self._dense_cap:
                 self._dense_cap = snug
             self._dense_snug = True
@@ -552,7 +589,8 @@ class TreeNSearch:
         else:
             box_min = jnp.zeros((3,), jnp.float32)
             box_max = jnp.ones((3,), jnp.float32)
-        self._zsort_maps = [zsort_order(p, box_min, box_max) for p in pts_dev]
+        # all per-set orders in ONE device program/dispatch
+        self._zsort_maps = zsort_orders(pts_dev, box_min, box_max)
 
     def apply_zsort(self, set_i: int, data, stride: int = 1):
         """Reorder a user array by the prepared Z-order.  numpy arrays are
@@ -583,6 +621,44 @@ class TreeNSearch:
             np.copyto(data, np.asarray(out).astype(data.dtype, copy=False))
             return data
         return out
+
+    def apply_zsort_batch(self, set_i: int, arrays: Sequence,
+                          strides: Optional[Sequence[int]] = None):
+        """Reorder MANY user arrays by the prepared Z-order in one device
+        program (one dispatch; ``apply_zsort`` per array costs a host
+        round-trip each — prohibitive through a remote TPU link).  numpy
+        arrays are updated in place; the reordered arrays are returned."""
+        self._require_set(set_i)
+        if self._zsort_maps is None:
+            raise RuntimeError(
+                "prepare_zsort() must be called before apply_zsort_batch()")
+        order = self._zsort_maps[set_i]
+        n = order.shape[0]
+        if n == 0 or not arrays:
+            return list(arrays)
+        strides = list(strides) if strides is not None else [1] * len(arrays)
+        rows_list = []
+        for arr, stride in zip(arrays, strides):
+            size = int(np.prod(np.shape(arr)))
+            if size % n != 0:
+                raise ValueError(
+                    f"array of {size} elements cannot be reordered for "
+                    f"set {set_i} with {n} points")
+            a = jnp.asarray(arr)
+            flat_in = a.ndim == 1 and stride > 1
+            rows_list.append(a.reshape(n, stride) if flat_in
+                             else a.reshape(n, -1))
+        outs = apply_order_batch(rows_list, order)
+        results = []
+        for arr, out in zip(arrays, outs):
+            out = out.reshape(np.shape(arr))
+            if isinstance(arr, np.ndarray):
+                np.copyto(arr, np.asarray(out).astype(arr.dtype,
+                                                      copy=False))
+                results.append(arr)
+            else:
+                results.append(out)
+        return results
 
     def get_zsort_order(self, set_i: int) -> np.ndarray:
         self._require_set(set_i)
@@ -743,6 +819,8 @@ class TreeNSearch:
     def _make_cfg(self, chunk: int, w: int) -> SearchConfig:
         pairs = tuple(
             (int(i), int(j)) for i, j in zip(*np.nonzero(self._active)))
+        n_sets = len(self._sets)
+        caps = tuple(self._cap_of(j) for j in range(n_sets))
         return SearchConfig(
             set_sizes=tuple(s.n for s in self._sets),
             active_pairs=pairs,
@@ -751,7 +829,8 @@ class TreeNSearch:
             stencil_w=w,
             chunk=chunk,
             cand_cap=self._cand_cap,
-            nbr_cap=self._nbr_cap,
+            nbr_cap=max(caps) if caps else self._nbr_cap,
+            nbr_caps=caps if self._nbr_caps else None,
         )
 
     def _assemble(self):

@@ -28,6 +28,12 @@ class SearchConfig(NamedTuple):
     chunk: int                           # query points per pipeline tile
     cand_cap: int                        # max candidates per query point
     nbr_cap: int                         # max neighbors per (point, set_j)
+    # optional PER-CANDIDATE-SET caps (len n_sets): candidate sets of very
+    # different density get differently sized padded-CSR outputs on the
+    # Pallas path (a thin boundary set must not pay the fluid's footprint);
+    # None = nbr_cap for every set.  nbr_cap stays the global ceiling used
+    # by the fallback paths.
+    nbr_caps: object = None
 
     @property
     def n_sets(self) -> int:

@@ -190,6 +190,7 @@ class FastCarry(NamedTuple):
     idx_s: jnp.ndarray         # (n,) sorted slot -> original index
     inv_perm: jnp.ndarray      # (n,) original index -> sorted slot
     pp: jnp.ndarray            # (n,) sorted slot -> padded (row-aligned) slot
+    qpos: jnp.ndarray          # (n,) original index -> padded slot (pp o inv)
     gidx: jnp.ndarray          # (NPAD+128,) padded slot -> sorted slot (or n)
     desc: jnp.ndarray          # (nt8, DESC_W) window descriptors
     fat_ids: jnp.ndarray       # (fat_cap,) fat-tier tile ids
@@ -240,7 +241,7 @@ def make_fast_carry0(cfg: SearchConfig, knobs: FastKnobs) -> FastCarry:
         valid=jnp.zeros((), jnp.bool_),
         lin_s=z((n,)),
         r_chk=jnp.zeros((n if cfg.variable else 0,), jnp.float32),
-        idx_s=z((n,)), inv_perm=z((n,)), pp=z((n,)),
+        idx_s=z((n,)), inv_perm=z((n,)), pp=z((n,)), qpos=z((n,)),
         gidx=z((st["NPAD"] + 128,)),
         desc=z((st["nt8"], DESC_W)),
         fat_ids=z((st["fat_cap"],)), fat_slot=z((st["tiles_cap"],)),
@@ -442,6 +443,11 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     # ---- carried maps ---------------------------------------------------
     inv_perm = jnp.zeros((n,), jnp.int32).at[idx_s].set(
         iota, unique_indices=True)
+    # original index -> padded slot, composed once here so the per-step
+    # epilogue gathers through ONE map (a per-pair pp[inv_perm[...]]
+    # double gather showed up as a real per-step cost at 1M)
+    qpos_map = jnp.zeros((n,), jnp.int32).at[idx_s].set(
+        pp, unique_indices=True)
     # padded slot -> sorted slot (or n for padding); the extra all-sentinel
     # tile serves the fat tier's padded dummy ids
     gidx = jnp.full((NPAD + PTILE,), n, jnp.int32).at[pp].set(iota)
@@ -452,8 +458,8 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
 
     return FastCarry(
         valid=jnp.ones((), jnp.bool_), lin_s=lin_s, r_chk=r_s,
-        idx_s=idx_s, inv_perm=inv_perm, pp=pp, gidx=gidx, desc=desc,
-        fat_ids=fat_ids, fat_slot=fat_slot,
+        idx_s=idx_s, inv_perm=inv_perm, pp=pp, qpos=qpos_map, gidx=gidx,
+        desc=desc, fat_ids=fat_ids, fat_slot=fat_slot,
         dense_overflow=dense_overflow, tile_overflow=tile_overflow,
         rows_overflow=rows_overflow,
         fat_overflow=fat_overflow.astype(jnp.int32), win_max=win_max,
@@ -496,7 +502,10 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     if multi_set is None:
         multi_set = cfg.n_sets > 1
     n_win = len(offs_2d)
-    k_sel = cfg.nbr_cap
+    caps = cfg.nbr_caps if cfg.nbr_caps is not None \
+        else (cfg.nbr_cap,) * cfg.n_sets
+    # per-block output row caps (8-row tiling); see pallas_pairs nbr_caps
+    k8s = tuple(-(-caps[sj] // 8) * 8 for sj in cand_sets)
     idx_s = carry.idx_s
     iota = jnp.arange(n, dtype=jnp.int32)
 
@@ -560,33 +569,33 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
 
     params = jnp.zeros((8, DESC_W), jnp.float32).at[0, 0].set(r2_fixed)
 
-    k8 = -(-k_sel // 8) * 8  # kernel output rows need 8-row tiling
     # asymmetric per-window staging: the center (di=dj=0) window holds
     # each query's own cell column (most survivors); edges need less
-    pre_c = min(round_up(knobs.pre_cap, 8), k8)
+    pre_c = min(round_up(knobs.pre_cap, 8), max(k8s))
     pre_e = min(round_up(knobs.pre_edge, 8), pre_c)
     center_win = n_win // 2
     pre_caps = tuple(pre_c if i == center_win else pre_e
                      for i in range(n_win))
-    cand_offsets = tuple(cfg.set_offsets[sj] for sj in cand_sets)
     kargs = dict(variable=cfg.variable, symmetric=cfg.symmetric,
                  cand_sets=cand_sets, cand_offsets=cand_offsets,
-                 multi_set=cfg.n_sets > 1, center_win=center_win,
+                 multi_set=multi_set, center_win=center_win,
                  interpret=knobs.interpret, pack=pack,
                  skip_stage=knobs.skip_stage,
-                 val_bound=max(cfg.set_sizes),
+                 # raw mode (sharded) carries GLOBAL ids whose bound the
+                 # local cfg does not know -> disable packed-carry there
+                 val_bound=(1 << 30) if raw else max(cfg.set_sizes),
                  mxu_prefix=knobs.mxu_prefix,
                  packed_carry=knobs.packed_carry)
     n_blocks_dbg = len(cand_sets)
     if knobs.skip_stage >= 5:
         # DEV: bypass the pallas calls entirely (XLA-side floor); >= 6
         # additionally elides the record build via DCE
-        outs_n = [jnp.zeros((tiles_cap * 8, 128), jnp.int32),
-                  jnp.zeros((tiles_cap * k8, 128), jnp.int32)
-                  ] * n_blocks_dbg
-        outs_f = [jnp.zeros((fat_cap * 8, 128), jnp.int32),
-                  jnp.zeros((fat_cap * k8, 128), jnp.int32)
-                  ] * n_blocks_dbg
+        outs_n = [a for k8b in k8s for a in
+                  (jnp.zeros((tiles_cap * 8, 128), jnp.int32),
+                   jnp.zeros((tiles_cap * k8b, 128), jnp.int32))]
+        outs_f = [a for k8b in k8s for a in
+                  (jnp.zeros((fat_cap * 8, 128), jnp.int32),
+                   jnp.zeros((fat_cap * k8b, 128), jnp.int32))]
         if knobs.skip_stage < 6:
             # keep the record arrays fully materialized (barrier stops
             # XLA from slicing the builds down to the consumed scalar)
@@ -594,11 +603,11 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
             outs_n = list(outs_n)
             outs_n[0] = outs_n[0] + (q_t_b[0, 0] + rec_b[0, 0])
     else:
-        narrow = make_pairs_call(wcap, pre_caps, k8, n_win,
+        narrow = make_pairs_call(wcap, pre_caps, k8s, n_win,
                                  fat_tier=False, tiles_per_step=knobs.tps,
                                  **kargs)
         outs_n = narrow(tiles_cap, carry.desc, params, q_t, rec_pad)
-        fat = make_pairs_call(fat_wcap, pre_caps, k8, n_win,
+        fat = make_pairs_call(fat_wcap, pre_caps, k8s, n_win,
                               fat_tier=True, **kargs)
         outs_f = fat(fat_cap, carry.desc, params, q_t, rec_pad,
                      ids=carry.fat_ids)
@@ -609,14 +618,28 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     # one kernel output block per DISTINCT candidate set; pairs that
     # share set_j share the block arrays (the neighbor set of a query
     # against set_j does not depend on the query's own set)
+    lane_grid = jnp.broadcast_to(jnp.arange(PTILE, dtype=jnp.int32),
+                                 (fat_cap, PTILE))
+    fat_rows = carry.fat_ids[:, None] * PTILE + lane_grid
     blk = {}
     for b, sj in enumerate(cand_sets):
         cnt_n, nbr_n = outs_n[2 * b], outs_n[2 * b + 1]
         cnt_f, nbr_f = outs_f[2 * b], outs_f[2 * b + 1]
+        # merge the fat tier's counts INTO the narrow counts by one small
+        # scatter (fat_cap x 128), so the per-pair epilogue is a single
+        # gather through the carried qpos map (padded fat ids point past
+        # the array -> dropped)
+        counts_flat = cnt_n[0::8].reshape(-1).at[fat_rows.reshape(-1)].set(
+            cnt_f[0::8].reshape(-1), mode="drop")
+        # barrier: keep the strided slice + scatter + 1M gather chain from
+        # fusing into downstream reductions (XLA's fused dependent-gather
+        # reduce runs element-at-a-time on TPU)
+        counts_flat = jax.lax.optimization_barrier(counts_flat)
         blk[sj] = {
+            "counts_flat": counts_flat,
             "counts_all": cnt_n[0::8], "counts_fat": cnt_f[0::8],
-            "nbrs_tiles": nbr_n.reshape(tiles_cap, k8, PTILE),
-            "nbrs_fat": nbr_f.reshape(fat_cap, k8, PTILE)}
+            "nbrs_tiles": nbr_n.reshape(tiles_cap, k8s[b], PTILE),
+            "nbrs_fat": nbr_f.reshape(fat_cap, k8s[b], PTILE)}
         pre_surv_c = jnp.maximum(
             pre_surv_c, jnp.maximum(jnp.max(cnt_n[1::8]),
                                     jnp.max(cnt_f[1::8])))
@@ -641,20 +664,15 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         name = _pair_name(si, sj)
         n_i = cfg.set_sizes[si]
         if n_i > 0:
-            # original order -> sorted slot -> padded slot, composed into
-            # ONE gather per output (no (N, k8) intermediates at 10M)
-            rows_sorted = jax.lax.dynamic_slice_in_dim(
-                carry.inv_perm, cfg.set_offsets[si], n_i)
-            ppos = carry.pp[rows_sorted]
-            t_i, lane = ppos // PTILE, ppos % PTILE
-            fs = carry.fat_slot[t_i]
-            # merge tiers by SELECT at gather time: a scatter of the
-            # fat rows over the narrow output would copy the whole
-            # multi-GB narrow array (measured OOM at 10M)
-            counts = jnp.where(
-                fs >= 0,
-                blk[sj]["counts_fat"][jnp.maximum(fs, 0), lane],
-                blk[sj]["counts_all"][t_i, lane])
+            # ONE gather through the carried original->padded-slot map
+            # (counts already tier-merged above; the NEIGHBOR blocks stay
+            # separate — scattering fat nbr rows over the narrow output
+            # would copy the whole multi-GB narrow array, measured OOM
+            # at 10M — and merge by select inside materialize_nbrs)
+            ppos = jax.lax.dynamic_slice_in_dim(
+                carry.qpos, cfg.set_offsets[si], n_i)
+            counts = jax.lax.optimization_barrier(
+                blk[sj]["counts_flat"][ppos])
             max_count = jnp.max(counts)
             # neighbor rows stay in tile layout + per-point pointer
             # (see materialize_nbrs); at 10M the per-point gather
@@ -667,7 +685,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         else:
             pairs[name] = {
                 "counts": jnp.zeros((0,), jnp.int32),
-                "nbrs": jnp.zeros((0, k_sel), jnp.int32),
+                "nbrs": jnp.zeros((0, caps[sj]), jnp.int32),
                 "max_count": jnp.zeros((), jnp.int32)}
 
     return {

@@ -178,7 +178,7 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
     return jnp.where(d >= 0, v, -1)[:out_w, :]
 
 
-def make_pairs_call(wcap: int, pre_caps, nbr_cap: int, n_win: int,
+def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     variable: bool, symmetric: bool,
                     cand_sets=(0,), cand_offsets=(0,),
                     multi_set: bool = False, center_win: int = None,
@@ -206,6 +206,9 @@ def make_pairs_call(wcap: int, pre_caps, nbr_cap: int, n_win: int,
 
     ``cand_sets``: the distinct candidate (set_j) values to emit blocks
     for; ``cand_offsets[b]`` rebases block b's indices to set-local.
+    ``nbr_caps``: PER-BLOCK padded-CSR row caps — candidate sets of very
+    different density (a dense fluid vs a thin boundary) would otherwise
+    all pay the densest set's output footprint (4.8 GB per block at 10M).
 
     Outputs: per candidate set, a counts block (row 0 = neighbor counts,
     row 1 = max survivors in the center window, row 2 = max survivors in
@@ -214,7 +217,7 @@ def make_pairs_call(wcap: int, pre_caps, nbr_cap: int, n_win: int,
     """
     n_blocks = len(cand_sets)
     assert n_win <= LENS_OFF, "pallas kernel supports stencil_w <= 3"
-    assert nbr_cap % 8 == 0, "pallas nbr_cap must be a multiple of 8"
+    assert len(nbr_caps) == n_blocks and all(k % 8 == 0 for k in nbr_caps)
     assert 1 <= n_blocks <= 8, "pallas kernel supports <= 8 candidate sets"
     assert 128 % pack == 0 and 128 // pack >= N_FIELDS
     assert wcap % (8 * pack) == 0, "wcap must tile the packed rows"
@@ -231,7 +234,7 @@ def make_pairs_call(wcap: int, pre_caps, nbr_cap: int, n_win: int,
     wrows = wcap // pack       # DMA rows per window
 
     def body(desc_ref, row, params_ref, qt_ref, qo, rec_ref, out_refs,
-             co, no, win, outc, sems):
+             co, g_out, win, outc, sems):
         # qo/co/no: lane offset into the query block and row offsets into
         # the counts/nbrs output blocks for this tile (several tiles are
         # processed per grid step to amortize the per-step pipeline
@@ -356,7 +359,9 @@ def make_pairs_call(wcap: int, pre_caps, nbr_cap: int, n_win: int,
             if skip_stage < 2:
                 for b in range(n_blocks):
                     merged = outc[b * m2:(b + 1) * m2, :]
-                    k_out = min(nbr_cap, m2)  # block rows beyond stay -1
+                    # block rows beyond each cap stay -1
+                    k_out = min(nbr_caps[b], m2)
+                    no = g_out * nbr_caps[b]
                     out_refs[2 * b + 1][no:no + k_out, :] = _compact_sub(
                         merged >= 0, merged, k_out, val_bound=val_bound,
                         mxu_prefix=mxu_prefix, packed_carry=packed_carry)
@@ -369,14 +374,14 @@ def make_pairs_call(wcap: int, pre_caps, nbr_cap: int, n_win: int,
         for b in range(n_blocks):
             out_refs[2 * b][:, :] = jnp.zeros((8 * G, TILE), jnp.int32)
             # the nbr block needs no -1 fill on the fast path: the merge
-            # writes rows [0, min(nbr_cap, m2)) for every processed tile
+            # writes rows [0, min(cap, m2)) for every processed tile
             # (counts <= m2 by the pre_cap regrow contract) and skipped
             # tiles' rows are never consumed (tier selection at gather);
             # attribution modes skip the merge, so fill then for
             # determinism
-            if 1 <= skip_stage or min(nbr_cap, m2) < nbr_cap:
+            if 1 <= skip_stage or min(nbr_caps[b], m2) < nbr_caps[b]:
                 out_refs[2 * b + 1][:, :] = jnp.full(
-                    (nbr_cap * G, TILE), -1, jnp.int32)
+                    (nbr_caps[b] * G, TILE), -1, jnp.int32)
 
     if fat_tier:
         def kernel(ids_ref, desc_ref, params_ref, qt_ref, rec_ref,
@@ -397,13 +402,13 @@ def make_pairs_call(wcap: int, pre_caps, nbr_cap: int, n_win: int,
             if G == 8:
                 for g in range(8):
                     body(desc_ref, g, params_ref, qt_ref, g * TILE,
-                         rec_ref, out_refs, g * 8, g * nbr_cap,
+                         rec_ref, out_refs, g * 8, g,
                          win, outc, sems)
             else:
                 base = (pl.program_id(0) % (8 // G)) * G
                 for g in range(G):
                     body(desc_ref, base + g, params_ref, qt_ref, g * TILE,
-                         rec_ref, out_refs, g * 8, g * nbr_cap,
+                         rec_ref, out_refs, g * 8, g,
                          win, outc, sems)
 
     scratch = [
@@ -416,11 +421,13 @@ def make_pairs_call(wcap: int, pre_caps, nbr_cap: int, n_win: int,
         # n_tiles tiles total; the narrow tier runs G of them per grid step
         assert fat_tier or n_tiles % G == 0
         n_grid = n_tiles if fat_tier else n_tiles // G
-        out_shape = [
+        out_shape = []
+        for b in range(n_blocks):
             # counts ride in rows 0/1/2 of an 8-row group per tile
-            jax.ShapeDtypeStruct((n_tiles * 8, TILE), jnp.int32),
-            jax.ShapeDtypeStruct((n_tiles * nbr_cap, TILE), jnp.int32),
-        ] * n_blocks
+            out_shape.append(
+                jax.ShapeDtypeStruct((n_tiles * 8, TILE), jnp.int32))
+            out_shape.append(jax.ShapeDtypeStruct(
+                (n_tiles * nbr_caps[b], TILE), jnp.int32))
         if fat_tier:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -436,12 +443,12 @@ def make_pairs_call(wcap: int, pre_caps, nbr_cap: int, n_win: int,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
-                out_specs=[
+                out_specs=[sp for b in range(n_blocks) for sp in (
                     pl.BlockSpec((8, TILE), lambda t, ids: (t, 0),
                                  memory_space=pltpu.VMEM),
-                    pl.BlockSpec((nbr_cap, TILE), lambda t, ids: (t, 0),
-                                 memory_space=pltpu.VMEM),
-                ] * n_blocks,
+                    pl.BlockSpec((nbr_caps[b], TILE),
+                                 lambda t, ids: (t, 0),
+                                 memory_space=pltpu.VMEM))],
                 scratch_shapes=scratch,
             )
             return pl.pallas_call(
@@ -462,12 +469,11 @@ def make_pairs_call(wcap: int, pre_caps, nbr_cap: int, n_win: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=[
+            out_specs=[sp for b in range(n_blocks) for sp in (
                 pl.BlockSpec((8 * G, TILE), lambda t: (t, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((nbr_cap * G, TILE), lambda t: (t, 0),
-                             memory_space=pltpu.VMEM),
-            ] * n_blocks,
+                pl.BlockSpec((nbr_caps[b] * G, TILE), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM))],
             scratch_shapes=scratch,
         )
         return pl.pallas_call(

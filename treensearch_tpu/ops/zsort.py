@@ -28,10 +28,8 @@ from ..utils import keys as K
 _ZSORT_BITS = 20
 
 
-@jax.jit
-def zsort_order(points: jnp.ndarray, box_min: jnp.ndarray,
+def _order_body(points: jnp.ndarray, box_min: jnp.ndarray,
                 box_max: jnp.ndarray) -> jnp.ndarray:
-    """new_to_old permutation for one point set (n, 3) over a world box."""
     n = points.shape[0]
     if n == 0:
         return jnp.zeros((0,), jnp.int32)
@@ -46,6 +44,60 @@ def zsort_order(points: jnp.ndarray, box_min: jnp.ndarray,
 
 
 @jax.jit
+def zsort_order(points: jnp.ndarray, box_min: jnp.ndarray,
+                box_max: jnp.ndarray) -> jnp.ndarray:
+    """new_to_old permutation for one point set (n, 3) over a world box."""
+    return _order_body(points, box_min, box_max)
+
+
+@jax.jit
+def zsort_orders(points_list, box_min: jnp.ndarray, box_max: jnp.ndarray):
+    """Per-set new_to_old permutations in ONE device program (one sort per
+    set; one dispatch total — the role of the reference's parallel
+    per-set sorts, ``TreeNSearch.cpp:2598-2657``)."""
+    return [_order_body(p, box_min, box_max) for p in points_list]
+
+
+@jax.jit
 def apply_order(data: jnp.ndarray, new_to_old: jnp.ndarray) -> jnp.ndarray:
     """Gather rows of ``data`` (n, ...) into the new order."""
     return jnp.take(data, new_to_old, axis=0)
+
+
+@jax.jit
+def apply_order_batch(arrays, new_to_old: jnp.ndarray):
+    """Gather k arrays into the new order in ONE device program.
+
+    A per-array ``apply_zsort`` dispatch costs ~40 ms through a remote
+    TPU tunnel; SPH codes reorder many arrays per zsort (positions,
+    velocities, densities, ... — ``README.md:100-111``), so the batched
+    gather is the practical interface."""
+    return [jnp.take(a, new_to_old, axis=0) for a in arrays]
+
+
+def make_zsort_step(n_sets: int = 1):
+    """In-graph fused zsort for simulation loops: a jittable
+    ``step(points_list, arrays_per_set) -> (orders, sorted_points,
+    sorted_arrays)`` that computes the world box, all per-set orders and
+    every gather in one program (zero host sync; usable under
+    ``lax.scan`` at a chosen cadence)."""
+
+    def step(points_list, arrays_per_set=None):
+        assert len(points_list) == n_sets
+        mins = [jnp.min(p, axis=0) for p in points_list if p.shape[0]]
+        maxs = [jnp.max(p, axis=0) for p in points_list if p.shape[0]]
+        box_min = jnp.min(jnp.stack(mins), axis=0) if mins else \
+            jnp.zeros((3,), jnp.float32)
+        box_max = jnp.max(jnp.stack(maxs), axis=0) if maxs else \
+            jnp.ones((3,), jnp.float32)
+        orders = [_order_body(p, box_min, box_max) for p in points_list]
+        pts_sorted = [jnp.take(p, o, axis=0)
+                      for p, o in zip(points_list, orders)]
+        arrs_sorted = None
+        if arrays_per_set is not None:
+            arrs_sorted = [
+                [jnp.take(a, o, axis=0) for a in arrs]
+                for arrs, o in zip(arrays_per_set, orders)]
+        return orders, pts_sorted, arrs_sorted
+
+    return step
