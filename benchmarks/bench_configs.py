@@ -82,7 +82,9 @@ ms = steady_state_ms(eng, pts)
 report("sph_500k_step", ms, total_pairs(eng))
 # zsort cadence, host path: prepare + FUSED 3-array apply (one dispatch)
 vel = np.zeros((n, 3), np.float32)
-rho = np.zeros((n,), np.float32)
+rho = np.zeros((n, ), np.float32)
+eng.prepare_zsort()                       # warm the order/gather programs
+eng.apply_zsort_batch(0, [pts.copy(), vel.copy(), rho.copy()])
 t0 = time.perf_counter()
 eng.prepare_zsort()
 eng.apply_zsort_batch(0, [pts, vel, rho])

@@ -18,8 +18,6 @@ OpenMP out-of-place gather permutation.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 
