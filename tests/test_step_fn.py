@@ -59,8 +59,8 @@ def test_step_fn_carries_settled_fat_caps():
     rng = np.random.default_rng(3)
     # dense cluster + sparse background: cluster tiles overflow the narrow
     # window cap and need the fat tier
-    cluster = 0.5 + 0.004 * rng.standard_normal((500, 3))
-    sparse = rng.uniform(0, 1, (700, 3))
+    cluster = 0.5 + 0.004 * rng.standard_normal((320, 3))
+    sparse = rng.uniform(0, 1, (480, 3))
     pts = np.concatenate([cluster, sparse]).astype(np.float32)
     eng = TreeNSearch()
     eng.add_point_set(pts)
