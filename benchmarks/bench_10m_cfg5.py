@@ -55,12 +55,19 @@ eng.set_all_searches(True)          # 9 directed pairs
 eng.set_cell_size(1.0 * R)
 # preset caps: a regrow recompile at 10M costs minutes (the ergonomics
 # documented in STATUS; the regrow DEMO below exercises the path anyway)
-eng.set_neighbor_cap(int(os.environ.get("NBR", 96)))
+eng.set_neighbor_cap(int(os.environ.get("NBR", 80)))
 # thin sets get right-sized outputs (the fluid's cap would cost 3x HBM)
-eng.set_neighbor_cap(int(os.environ.get("NBR1", 32)), set_j=1)
+eng.set_neighbor_cap(int(os.environ.get("NBR1", 24)), set_j=1)
 eng.set_neighbor_cap(int(os.environ.get("NBR2", 16)), set_j=2)
-eng.set_prestage_caps(int(os.environ.get("PRECAP", 96)),
+eng.set_prestage_caps(int(os.environ.get("PRECAP", 88)),
                       int(os.environ.get("PREEDGE", 64)))
+# snug tile budget: ~12.5k occupied rows pad 10M points to ~84.4k tiles;
+# the 25% default slack would cost ~1 GB of output blocks here
+eng._tiles_cap = int(os.environ.get("TILES", 87000))
+eng._fat_cap = int(os.environ.get("FATCAP", 512))
+# at this scale HBM is the binding constraint: skip the carry's extra
+# buffers/liveness (every step re-sorts anyway under motion)
+eng.set_coherence(False)
 
 stamp(f"first run: {N0}+{N1}+{N2} pts, 9 pairs (3 candidate blocks)")
 eng.run()
@@ -69,36 +76,44 @@ stamp(f"settled: {eng._last_stats} wcap={eng._wcap} pack={eng._pack} "
       f"nbr={eng._nbr_cap} pre=({eng._pre_cap},{eng._pre_edge}) "
       f"dense={eng._dense_cap}")
 
+# counts-only accounting (materializing all nine per-point views costs
+# ~6 GB on top of the live blocks -> use the counts-only accessor)
 pair_totals = {}
-for (i, j) in [(0, 0), (0, 1), (1, 0), (2, 0)]:
-    c, _ = eng.get_neighbors(i, j)
-    pair_totals[f"{i}-{j}"] = int(jnp.sum(c))
 total_all = 0
 for i in range(3):
     for j in range(3):
-        c, _ = eng.get_neighbors(i, j)
-        total_all += int(jnp.sum(c))
-stamp(f"total pairs over 9 searches: {total_all}; samples {pair_totals}")
+        t = int(eng.get_counts(i, j).sum())
+        pair_totals[f"{i}-{j}"] = t
+        total_all += t
+stamp(f"total pairs over 9 searches: {total_all}; per pair {pair_totals}")
 
 # ---- sampled native-oracle parity for two pairs ------------------------
 if VALIDATE:
     from treensearch_tpu import native_oracle as no
     if no.available():
-        for (si, sj) in ((0, 0), (1, 0)):
-            cnt_d, _ = eng.get_neighbors(si, sj)
-            cnt = np.asarray(cnt_d)
-            counts_ref, lists_ref = no.grid_search_pair(
+        # validate the two pairs whose per-point views fit alongside the
+        # live blocks (set_i = boundary/emitter; the 8M-row fluid view
+        # alone is ~3 GB)
+        for (si, sj) in ((1, 0), (2, 1)):
+            cnt = eng.get_counts(si, sj)
+            counts_ref, offs_ref, nbrs_ref = no.grid_search_pair(
                 sets_np[si], sets_np[sj], radius=R, same_set=(si == sj))
             assert np.array_equal(cnt, counts_ref), f"counts differ {si}-{sj}"
             sample = rng.choice(sets_np[si].shape[0], 2000, replace=False)
             nbrs = np.asarray(eng.get_neighbors(si, sj)[1])
             for i in sample:
                 got = np.sort(nbrs[i][: cnt[i]])
-                assert np.array_equal(got, np.sort(lists_ref[i])), (si, sj, i)
+                want = np.sort(nbrs_ref[offs_ref[i]:offs_ref[i + 1]])
+                assert np.array_equal(got, want), (si, sj, i)
             stamp(f"pair {si}-{sj}: counts exact on all "
                   f"{cnt.shape[0]} pts; neighbor sets exact on 2000 samples")
+            del nbrs
     else:
         stamp("native oracle unavailable; skipping parity")
+
+# release the first run's multi-GB solution before the timing loop
+# allocates its own working set of the same size
+eng._solution = None
 
 # ---- steady-state loop with in-graph zsort cadence ---------------------
 step, st0 = eng.make_step_fn()
@@ -152,12 +167,12 @@ if REGROW:
     os.environ["TNS_DEBUG_REGROW"] = "1"
     import treensearch_tpu.api as api
     api._DEBUG_REGROW = True
-    eng._nbr_cap = 32
+    eng._nbr_caps[0] = 32
     eng._solution = None
+    eng._carry_key = None   # cap change reshapes the carry
     t0 = time.perf_counter()
     eng.run()
     stamp(f"regrow converged in {time.perf_counter() - t0:.0f}s; "
-          f"nbr_cap now {eng._nbr_cap}")
-    c, _ = eng.get_neighbors(0, 0)
-    assert int(jnp.sum(c)) == pair_totals["0-0"]
+          f"fluid-block cap now {eng._cap_of(0)}")
+    assert int(eng.get_counts(0, 0).sum()) == pair_totals["0-0"]
     stamp("post-regrow results identical")

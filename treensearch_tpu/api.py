@@ -122,6 +122,7 @@ class TreeNSearch:
         self._rows_cap = _kd["rows_cap"]
         self._mxu_prefix = _kd["mxu_prefix"]
         self._packed_carry = _kd["packed_carry"]
+        self._use_carry = True     # temporal-coherence carry in run()
         self._wcap_user = False    # set_window_cap disables the auto-tune
         self._wcap_tuned = False   # one-shot wcap auto-tune from win_hist
         self._dense_snug = False   # one-shot dense-table shrink to domain
@@ -283,6 +284,16 @@ class TreeNSearch:
         self._pack = int(pack)
         self._pack_user = True
 
+    def set_coherence(self, enabled: bool) -> None:
+        """Toggle the temporal-coherence carry inside ``run()`` (default
+        on).  Off saves the carried structures' memory and the rebuild
+        branch's liveness — useful at the 10M+ scale where HBM is the
+        binding constraint and every step moves points anyway."""
+        self._use_carry = bool(enabled)
+        if not enabled:
+            self._fast_carry = None
+            self._carry_key = None
+
     def set_prestage_caps(self, center: int, edge: int = None) -> None:
         """Per-window pre-compaction staging widths of the Pallas kernel
         (center window vs edge windows).  Auto-grown on overflow; presetting
@@ -376,7 +387,8 @@ class TreeNSearch:
             cfg = self._make_cfg(chunk, w)
             if use_fast:
                 knobs = self._knobs(use_pallas_now)
-                if _pallas_applicable(cfg, knobs) and cfg.n_points > 0:
+                if self._use_carry and _pallas_applicable(cfg, knobs) \
+                        and cfg.n_points > 0:
                     # temporal-coherence path: the carried cell structure
                     # is reused when no point changed cells (staleness is
                     # detected on device each call, so no host-side
@@ -564,6 +576,12 @@ class TreeNSearch:
         """Bulk device interface: (counts (n_i,), padded nbrs (n_i, cap))."""
         self._require_solution()
         return self._solution.get_neighbors_device(set_i, set_j)
+
+    def get_counts(self, set_i: int, set_j: int) -> np.ndarray:
+        """Neighbor counts only — does NOT materialize the per-point
+        neighbor view (which is GBs for a dense pair at 10M points)."""
+        self._require_solution()
+        return self._solution.get_counts(set_i, set_j)
 
     def get_neighborlist_n_bytes(self) -> int:
         self._require_solution()

@@ -56,6 +56,7 @@ class NeighborSolution:
         # pairs_device: {"si-sj": {"counts": dev, "nbrs": dev, ...}}
         self._dev = pairs_device
         self._np_cache: dict = {}
+        self._counts_cache: dict = {}
         self.nbr_cap = nbr_cap
 
     def _materialized(self, p: dict):
@@ -84,7 +85,17 @@ class NeighborSolution:
         return NeighborList(nbrs[i, : counts[i]])
 
     def get_counts(self, si: int, sj: int) -> np.ndarray:
-        return self._fetch(si, sj)[0]
+        """Counts WITHOUT materializing the neighbor rows (the per-point
+        view of a dense pair is GBs at 10M; stats/diagnostics only need
+        counts)."""
+        key = f"{si}-{sj}"
+        if key in self._np_cache:
+            return self._np_cache[key][0]
+        if key not in self._counts_cache:
+            if key not in self._dev:
+                raise KeyError(f"search ({si} -> {sj}) is not active")
+            self._counts_cache[key] = np.asarray(self._dev[key]["counts"])
+        return self._counts_cache[key]
 
     def get_padded(self, si: int, sj: int) -> np.ndarray:
         return self._fetch(si, sj)[1]
