@@ -32,7 +32,7 @@ from treensearch_tpu import TreeNSearch
 from treensearch_tpu.ops.zsort import make_zsort_step
 
 N0, N1, N2 = 8_000_000, 1_500_000, 500_000   # fluid, boundary, emitter
-R = float(os.environ.get("R", 0.0101))
+R = float(os.environ.get("R", 0.009))
 ITERS = int(os.environ.get("ITERS", 6))
 ZSORT_EVERY = int(os.environ.get("ZSORT_EVERY", 3))
 VALIDATE = int(os.environ.get("VALIDATE", 1))
@@ -55,15 +55,18 @@ eng.set_all_searches(True)          # 9 directed pairs
 eng.set_cell_size(1.0 * R)
 # preset caps: a regrow recompile at 10M costs minutes (the ergonomics
 # documented in STATUS; the regrow DEMO below exercises the path anyway)
-eng.set_neighbor_cap(int(os.environ.get("NBR", 80)))
+eng.set_neighbor_cap(int(os.environ.get("NBR", 64)))
 # thin sets get right-sized outputs (the fluid's cap would cost 3x HBM)
-eng.set_neighbor_cap(int(os.environ.get("NBR1", 24)), set_j=1)
-eng.set_neighbor_cap(int(os.environ.get("NBR2", 16)), set_j=2)
-eng.set_prestage_caps(int(os.environ.get("PRECAP", 88)),
-                      int(os.environ.get("PREEDGE", 64)))
-# snug tile budget: ~12.5k occupied rows pad 10M points to ~84.4k tiles;
-# the 25% default slack would cost ~1 GB of output blocks here
-eng._tiles_cap = int(os.environ.get("TILES", 87000))
+eng.set_neighbor_cap(int(os.environ.get("NBR1", 16)), set_j=1)
+eng.set_neighbor_cap(int(os.environ.get("NBR2", 8)), set_j=2)
+eng.set_prestage_caps(int(os.environ.get("PRECAP", 64)),
+                      int(os.environ.get("PREEDGE", 48)))
+# snug tile budget: occupied rows pad 10M points to ~85k tiles; the 25%
+# default slack would cost ~1 GB of output blocks.  The whole working
+# set is sized for the ~8 GB effective HBM observed through this tunnel
+# (three 10M attempts at ~8 GB computed footprints hit
+# RESOURCE_EXHAUSTED; the r2 single-set 10M run at ~6 GB fit).
+eng._tiles_cap = int(os.environ.get("TILES", 88000))
 eng._fat_cap = int(os.environ.get("FATCAP", 512))
 # at this scale HBM is the binding constraint: skip the carry's extra
 # buffers/liveness (every step re-sorts anyway under motion)

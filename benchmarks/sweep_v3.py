@@ -132,7 +132,7 @@ for combo in COMBOS.split():
             sol, st = step(st, points)
             p = sol["pairs"]["0-0"]
             nb = p["nbrs"] if "nbrs" in p else p["nbrs_tiles"]
-            return st, acc + p["counts"][0] + jnp.sum(nb[::17], dtype=jnp.int32)
+            return st, acc + jnp.sum(p["counts"][::257], dtype=jnp.int32)
         return jax.lax.fori_loop(0, ITERS, body, (st, jnp.int32(0)))
 
     st, acc = loop(pts_dev, st0)
