@@ -31,8 +31,11 @@ import jax.numpy as jnp
 from treensearch_tpu import TreeNSearch
 from treensearch_tpu.ops.zsort import make_zsort_step
 
-N0, N1, N2 = 8_000_000, 1_500_000, 500_000   # fluid, boundary, emitter
-R = float(os.environ.get("R", 0.009))
+SCALE = float(os.environ.get("SCALE", 1.0))
+# fluid, boundary, emitter
+N0, N1, N2 = (int(8_000_000 * SCALE), int(1_500_000 * SCALE),
+              int(500_000 * SCALE))
+R = float(os.environ.get("R", 0.009)) / SCALE ** (1 / 3)
 ITERS = int(os.environ.get("ITERS", 6))
 ZSORT_EVERY = int(os.environ.get("ZSORT_EVERY", 3))
 VALIDATE = int(os.environ.get("VALIDATE", 1))
@@ -66,7 +69,7 @@ eng.set_prestage_caps(int(os.environ.get("PRECAP", 64)),
 # set is sized for the ~8 GB effective HBM observed through this tunnel
 # (three 10M attempts at ~8 GB computed footprints hit
 # RESOURCE_EXHAUSTED; the r2 single-set 10M run at ~6 GB fit).
-eng._tiles_cap = int(os.environ.get("TILES", 88000))
+eng._tiles_cap = int(int(os.environ.get("TILES", 88000)) * SCALE)
 eng._fat_cap = int(os.environ.get("FATCAP", 512))
 # at this scale HBM is the binding constraint: skip the carry's extra
 # buffers/liveness (every step re-sorts anyway under motion)
