@@ -185,7 +185,17 @@ class FastCarry(NamedTuple):
     bit-for-bit (equal keys + stable sort => identical order).
     """
     valid: jnp.ndarray         # () bool
-    lin_s: jnp.ndarray         # (n,) sorted linear cell ids (change check)
+    lin_s: jnp.ndarray         # (n,) sorted linear cell ids
+    lin_chk: jnp.ndarray       # (n,) cell ids BY ORIGINAL INDEX, stored
+    #                            from the CHECK subgraph at rebuild time:
+    #                            XLA does not guarantee bitwise-identical
+    #                            recomputation across differently-fused
+    #                            program regions, so comparing the check's
+    #                            lin against prep's internal lin can flip
+    #                            on boundary points (observed on TPU at
+    #                            1M inside fori_loop: every step rebuilt);
+    #                            comparing the same subgraph against its
+    #                            own stored value is self-consistent
     r_chk: jnp.ndarray         # (n,) sorted radii at build ((0,) if fixed)
     idx_s: jnp.ndarray         # (n,) sorted slot -> original index
     inv_perm: jnp.ndarray      # (n,) original index -> sorted slot
@@ -239,7 +249,7 @@ def make_fast_carry0(cfg: SearchConfig, knobs: FastKnobs) -> FastCarry:
 
     return FastCarry(
         valid=jnp.zeros((), jnp.bool_),
-        lin_s=z((n,)),
+        lin_s=z((n,)), lin_chk=z((n,)),
         r_chk=jnp.zeros((n if cfg.variable else 0,), jnp.float32),
         idx_s=z((n,)), inv_perm=z((n,)), pp=z((n,)), qpos=z((n,)),
         gidx=z((st["NPAD"] + 128,)),
@@ -457,7 +467,8 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         n_cells_stat = jnp.asarray(n, jnp.int32)
 
     return FastCarry(
-        valid=jnp.ones((), jnp.bool_), lin_s=lin_s, r_chk=r_s,
+        valid=jnp.ones((), jnp.bool_), lin_s=lin_s, lin_chk=lin,
+        r_chk=r_s,
         idx_s=idx_s, inv_perm=inv_perm, pp=pp, qpos=qpos_map, gidx=gidx,
         desc=desc, fat_ids=fat_ids, fat_slot=fat_slot,
         dense_overflow=dense_overflow, tile_overflow=tile_overflow,
@@ -745,14 +756,16 @@ def build_and_search_fast_carry(points: jnp.ndarray,
                  & jnp.all(state.n_cells == prev.n_cells)
                  & (state.cell_size == prev.cell_size))
     lin, _, _, _ = _padded_lin(points, state, cfg, knobs)
-    same = carry.valid & same_grid & jnp.all(
-        lin[carry.idx_s] == carry.lin_s)
+    # compare this subgraph's keys against the value THIS subgraph stored
+    # at the last rebuild (see FastCarry.lin_chk)
+    same = carry.valid & same_grid & jnp.all(lin == carry.lin_chk)
     if cfg.variable:
         same = same & jnp.all(radii[carry.idx_s] == carry.r_chk)
     carry = jax.lax.cond(
         same,
         lambda: carry._replace(valid=jnp.ones((), jnp.bool_)),
-        lambda: _pallas_prep(points, radii, state, cfg, knobs))
+        lambda: _pallas_prep(points, radii, state, cfg,
+                             knobs)._replace(lin_chk=lin))
     sol = _pallas_search(points, radii, search_radius, state, carry,
                          cfg, knobs)
     sol["rebuilt"] = jnp.logical_not(same).astype(jnp.int32)
