@@ -601,12 +601,15 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     if knobs.skip_stage >= 5:
         # DEV: bypass the pallas calls entirely (XLA-side floor); >= 6
         # additionally elides the record build via DCE
-        outs_n = [a for k8b in k8s for a in
-                  (jnp.zeros((tiles_cap * 8, 128), jnp.int32),
-                   jnp.zeros((tiles_cap * k8b, 128), jnp.int32))]
-        outs_f = [a for k8b in k8s for a in
-                  (jnp.zeros((fat_cap * 8, 128), jnp.int32),
-                   jnp.zeros((fat_cap * k8b, 128), jnp.int32))]
+        n_cnt = (len(cand_sets) + 2 + 7) // 8
+        outs_n = [jnp.zeros((tiles_cap * 8, 128), jnp.int32)
+                  for _ in range(n_cnt)] + \
+                 [jnp.zeros((tiles_cap * k8b, 128), jnp.int32)
+                  for k8b in k8s]
+        outs_f = [jnp.zeros((fat_cap * 8, 128), jnp.int32)
+                  for _ in range(n_cnt)] + \
+                 [jnp.zeros((fat_cap * k8b, 128), jnp.int32)
+                  for k8b in k8s]
         if knobs.skip_stage < 6:
             # keep the record arrays fully materialized (barrier stops
             # XLA from slicing the builds down to the consumed scalar)
@@ -623,8 +626,6 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         outs_f = fat(fat_cap, carry.desc, params, q_t, rec_pad,
                      ids=carry.fat_ids)
 
-    pre_surv_c = jnp.zeros((), jnp.int32)
-    pre_surv_e = jnp.zeros((), jnp.int32)
     pairs = {}
     # one kernel output block per DISTINCT candidate set; pairs that
     # share set_j share the block arrays (the neighbor set of a query
@@ -633,30 +634,33 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                                  (fat_cap, PTILE))
     fat_rows = carry.fat_ids[:, None] * PTILE + lane_grid
     blk = {}
+    n_cnt = (len(cand_sets) + 2 + 7) // 8
     for b, sj in enumerate(cand_sets):
-        cnt_n, nbr_n = outs_n[2 * b], outs_n[2 * b + 1]
-        cnt_f, nbr_f = outs_f[2 * b], outs_f[2 * b + 1]
+        cnt_n, nbr_n = outs_n[b // 8], outs_n[n_cnt + b]
+        cnt_f, nbr_f = outs_f[b // 8], outs_f[n_cnt + b]
+        cr = b % 8              # this block's count row in the group
         # merge the fat tier's counts INTO the narrow counts by one small
         # scatter (fat_cap x 128), so the per-pair epilogue is a single
         # gather through the carried qpos map (padded fat ids point past
         # the array -> dropped)
-        counts_flat = cnt_n[0::8].reshape(-1).at[fat_rows.reshape(-1)].set(
-            cnt_f[0::8].reshape(-1), mode="drop")
+        counts_flat = cnt_n[cr::8].reshape(-1).at[fat_rows.reshape(-1)].set(
+            cnt_f[cr::8].reshape(-1), mode="drop")
         # barrier: keep the strided slice + scatter + 1M gather chain from
         # fusing into downstream reductions (XLA's fused dependent-gather
         # reduce runs element-at-a-time on TPU)
         counts_flat = jax.lax.optimization_barrier(counts_flat)
         blk[sj] = {
             "counts_flat": counts_flat,
-            "counts_all": cnt_n[0::8], "counts_fat": cnt_f[0::8],
+            "counts_all": cnt_n[cr::8], "counts_fat": cnt_f[cr::8],
             "nbrs_tiles": nbr_n.reshape(tiles_cap, k8s[b], PTILE),
             "nbrs_fat": nbr_f.reshape(fat_cap, k8s[b], PTILE)}
-        pre_surv_c = jnp.maximum(
-            pre_surv_c, jnp.maximum(jnp.max(cnt_n[1::8]),
-                                    jnp.max(cnt_f[1::8])))
-        pre_surv_e = jnp.maximum(
-            pre_surv_e, jnp.maximum(jnp.max(cnt_n[2::8]),
-                                    jnp.max(cnt_f[2::8])))
+    # shared pre-cap regrow signals: rows n_blocks / n_blocks+1 of the
+    # counts group hold the max over ALL blocks already
+    sc, se = len(cand_sets), len(cand_sets) + 1
+    pre_surv_c = jnp.maximum(jnp.max(outs_n[sc // 8][(sc % 8)::8]),
+                             jnp.max(outs_f[sc // 8][(sc % 8)::8]))
+    pre_surv_e = jnp.maximum(jnp.max(outs_n[se // 8][(se % 8)::8]),
+                             jnp.max(outs_f[se // 8][(se % 8)::8]))
     if raw:
         return {
             "blocks": blk,
@@ -707,7 +711,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         "dense_overflow": carry.dense_overflow,
         "straddle": jnp.zeros((), jnp.int32),
         "pallas_used": jnp.ones((), jnp.int32),
-        # max survivors in any center/edge window (counts rows 1/2):
+        # max survivors in any center/edge window (shared counts rows):
         # beyond the pre-cap means pre-compaction truncated -> regrow
         "pre_surv_max": pre_surv_c,
         "pre_surv_edge_max": pre_surv_e,

@@ -42,7 +42,8 @@ v4 additions (round 3):
     each query's own cell column and collects far more survivors than
     edge windows, so per-window staging widths are (center_cap, edge_cap)
     instead of uniform — the final merge network shrinks ~2x.  Separate
-    device maxima (counts rows 1 and 2) drive separate regrows.
+    device maxima (shared counts rows n_blocks/n_blocks+1) drive
+    separate regrows.
 
 Measured v5e facts that still shape the layout (benchmarks/, 2026-08-16):
   - sublane-dim DMA of a (N, 128) array takes exact UNALIGNED dynamic
@@ -210,12 +211,20 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
     different density (a dense fluid vs a thin boundary) would otherwise
     all pay the densest set's output footprint (4.8 GB per block at 10M).
 
-    Outputs: per candidate set, a counts block (row 0 = neighbor counts,
-    row 1 = max survivors in the center window, row 2 = max survivors in
-    any edge window — the pre-cap regrow signals) and a padded-CSR
+    Outputs: ``n_cnt = ceil((n_blocks+2)/8)`` SHARED counts arrays
+    followed by one padded-CSR neighbor block per candidate set.  Within
+    each tile's 8-row counts group, global row ``b`` holds block b's
+    neighbor counts, row ``n_blocks`` the max survivors in the center
+    window and row ``n_blocks+1`` the max survivors in any edge window
+    (the pre-cap regrow signals, shared across blocks — the host regrow
+    takes the max over blocks anyway).  Sharing one (8,TILE) group
+    across blocks instead of one per block saves (n_blocks-1) *
+    n_tiles*8*TILE*4 bytes — 720 MB at 10M x 3 sets, where the per-block
+    counts arrays were the second-largest allocation after the fluid
     neighbor block.
     """
     n_blocks = len(cand_sets)
+    n_cnt = (n_blocks + 2 + 7) // 8  # shared counts arrays
     assert n_win <= LENS_OFF, "pallas kernel supports stencil_w <= 3"
     assert len(nbr_caps) == n_blocks and all(k % 8 == 0 for k in nbr_caps)
     assert 1 <= n_blocks <= 8, "pallas kernel supports <= 8 candidate sets"
@@ -339,14 +348,16 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                             prefix = None
                             wsum = jnp.sum(pm.astype(jnp.int32), axis=0,
                                            keepdims=True)
-                        cref = out_refs[2 * b]
-                        cref[co:co + 1, :] = cref[co:co + 1, :] + wsum
-                        # rows 1/2: max center/edge window survivors
-                        # (the pre-cap regrow signals)
-                        cref[co + surv_row:co + surv_row + 1, :] = \
-                            jnp.maximum(
-                                cref[co + surv_row:co + surv_row + 1, :],
-                                wsum)
+                        cref = out_refs[b // 8]
+                        cb = co + b % 8
+                        cref[cb:cb + 1, :] = cref[cb:cb + 1, :] + wsum
+                        # shared rows n_blocks/n_blocks+1: max center/
+                        # edge window survivors (pre-cap regrow signals)
+                        sr = n_blocks + surv_row - 1
+                        sref = out_refs[sr // 8]
+                        sb = co + sr % 8
+                        sref[sb:sb + 1, :] = jnp.maximum(
+                            sref[sb:sb + 1, :], wsum)
                         if skip_stage < 1:  # dev knob: stage attribution
                             outc[b * m2 + pc_off[w]:
                                  b * m2 + pc_off[w + 1], :] = \
@@ -362,7 +373,7 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     # block rows beyond each cap stay -1
                     k_out = min(nbr_caps[b], m2)
                     no = g_out * nbr_caps[b]
-                    out_refs[2 * b + 1][no:no + k_out, :] = _compact_sub(
+                    out_refs[n_cnt + b][no:no + k_out, :] = _compact_sub(
                         merged >= 0, merged, k_out, val_bound=val_bound,
                         mxu_prefix=mxu_prefix, packed_carry=packed_carry)
 
@@ -371,8 +382,9 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
     def _init_outs(out_refs):
         if skip_stage >= 4:   # dev: measure the pure pipeline (no writes)
             return
+        for c in range(n_cnt):
+            out_refs[c][:, :] = jnp.zeros((8 * G, TILE), jnp.int32)
         for b in range(n_blocks):
-            out_refs[2 * b][:, :] = jnp.zeros((8 * G, TILE), jnp.int32)
             # the nbr block needs no -1 fill on the fast path: the merge
             # writes rows [0, min(cap, m2)) for every processed tile
             # (counts <= m2 by the pre_cap regrow contract) and skipped
@@ -380,14 +392,14 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
             # attribution modes skip the merge, so fill then for
             # determinism
             if 1 <= skip_stage or min(nbr_caps[b], m2) < nbr_caps[b]:
-                out_refs[2 * b + 1][:, :] = jnp.full(
+                out_refs[n_cnt + b][:, :] = jnp.full(
                     (nbr_caps[b] * G, TILE), -1, jnp.int32)
 
     if fat_tier:
         def kernel(ids_ref, desc_ref, params_ref, qt_ref, rec_ref,
                    *rest):
-            out_refs = rest[:2 * n_blocks]
-            win, outc, sems = rest[2 * n_blocks:]
+            out_refs = rest[:n_cnt + n_blocks]
+            win, outc, sems = rest[n_cnt + n_blocks:]
             row = ids_ref[pl.program_id(0)] % 8
             _init_outs(out_refs)
             body(desc_ref, row, params_ref, qt_ref, 0, rec_ref, out_refs,
@@ -396,8 +408,8 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
         assert G in (1, 2, 4, 8)
 
         def kernel(desc_ref, params_ref, qt_ref, rec_ref, *rest):
-            out_refs = rest[:2 * n_blocks]
-            win, outc, sems = rest[2 * n_blocks:]
+            out_refs = rest[:n_cnt + n_blocks]
+            win, outc, sems = rest[n_cnt + n_blocks:]
             _init_outs(out_refs)
             if G == 8:
                 for g in range(8):
@@ -421,11 +433,9 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
         # n_tiles tiles total; the narrow tier runs G of them per grid step
         assert fat_tier or n_tiles % G == 0
         n_grid = n_tiles if fat_tier else n_tiles // G
-        out_shape = []
+        out_shape = [jax.ShapeDtypeStruct((n_tiles * 8, TILE), jnp.int32)
+                     for _ in range(n_cnt)]
         for b in range(n_blocks):
-            # counts ride in rows 0/1/2 of an 8-row group per tile
-            out_shape.append(
-                jax.ShapeDtypeStruct((n_tiles * 8, TILE), jnp.int32))
             out_shape.append(jax.ShapeDtypeStruct(
                 (n_tiles * nbr_caps[b], TILE), jnp.int32))
         if fat_tier:
@@ -443,12 +453,14 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pl.ANY),
                 ],
-                out_specs=[sp for b in range(n_blocks) for sp in (
-                    pl.BlockSpec((8, TILE), lambda t, ids: (t, 0),
-                                 memory_space=pltpu.VMEM),
+                out_specs=[pl.BlockSpec((8, TILE),
+                                        lambda t, ids: (t, 0),
+                                        memory_space=pltpu.VMEM)
+                           for _ in range(n_cnt)] + [
                     pl.BlockSpec((nbr_caps[b], TILE),
                                  lambda t, ids: (t, 0),
-                                 memory_space=pltpu.VMEM))],
+                                 memory_space=pltpu.VMEM)
+                    for b in range(n_blocks)],
                 scratch_shapes=scratch,
             )
             return pl.pallas_call(
@@ -469,11 +481,12 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=[sp for b in range(n_blocks) for sp in (
-                pl.BlockSpec((8 * G, TILE), lambda t: (t, 0),
-                             memory_space=pltpu.VMEM),
+            out_specs=[pl.BlockSpec((8 * G, TILE), lambda t: (t, 0),
+                                    memory_space=pltpu.VMEM)
+                       for _ in range(n_cnt)] + [
                 pl.BlockSpec((nbr_caps[b] * G, TILE), lambda t: (t, 0),
-                             memory_space=pltpu.VMEM))],
+                             memory_space=pltpu.VMEM)
+                for b in range(n_blocks)],
             scratch_shapes=scratch,
         )
         return pl.pallas_call(
