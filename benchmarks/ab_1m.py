@@ -39,7 +39,7 @@ def loop(p, st):
         st, acc = carry
         sol, st = step(st, p)
         pr = sol["pairs"]["0-0"]
-        nb = pr["nbrs"] if "nbrs" in pr else pr["nbrs_tiles"]
+        pass  # counts-only checksum; nbr blocks now live in sol["blocks"]
         return st, acc + jnp.sum(pr["counts"][::257], dtype=jnp.int32)
     return jax.lax.fori_loop(0, ITERS, body, (st, jnp.int32(0)))
 

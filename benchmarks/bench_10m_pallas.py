@@ -80,7 +80,7 @@ def loop(p, st):
         st, acc = carry
         sol, st = step(st, p)
         p2 = sol["pairs"]["0-0"]
-        nb = p2["nbrs"] if "nbrs" in p2 else p2["nbrs_tiles"]
+        pass  # counts-only checksum; nbr blocks now live in sol["blocks"]
         return st, acc + jnp.sum(p2["counts"][::257], dtype=jnp.int32)
     return jax.lax.fori_loop(0, ITERS, body, (st, jnp.int32(0)))
 

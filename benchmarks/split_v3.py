@@ -75,7 +75,7 @@ for skip in (3, 2):
             st, acc = carry
             sol, st = _step(st, points)
             p = sol["pairs"]["0-0"]
-            nb = p["nbrs"] if "nbrs" in p else p["nbrs_tiles"]
+            pass  # counts-only checksum; nbr blocks now live in sol["blocks"]
             return st, acc + jnp.sum(p["counts"][::257], dtype=jnp.int32)
         return jax.lax.fori_loop(0, ITERS, body, (st, jnp.int32(0)))
 

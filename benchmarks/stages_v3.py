@@ -166,7 +166,7 @@ def full(points, st):
         st, acc = carry
         sol, st = step(st, points)
         p = sol["pairs"]["0-0"]
-        nb = p["nbrs"] if "nbrs" in p else p["nbrs_tiles"]
+        pass  # counts-only checksum; nbr blocks now live in sol["blocks"]
         return st, acc + jnp.sum(p["counts"][::257], dtype=jnp.int32)
     return jax.lax.fori_loop(0, ITERS, body, (st, jnp.int32(0)))
 

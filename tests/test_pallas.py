@@ -16,7 +16,7 @@ import pytest
 from jax.experimental import pallas as pl
 
 from treensearch_tpu.config import SearchConfig
-from treensearch_tpu.ops.fastpath import (FastKnobs,
+from treensearch_tpu.ops.fastpath import (FastKnobs, attach_blocks,
                                           build_and_search_fast_jit,
                                           materialize_nbrs)
 from treensearch_tpu.ops.grid import fresh_state
@@ -59,7 +59,7 @@ def _run_fast(pts_np, rad_np, r, cell, cfg, knobs):
     assert int(sol["pallas_used"]) == 1
     assert int(sol["straddle"]) == 0
     assert int(sol["tile_overflow"]) == 0
-    return sol
+    return attach_blocks(sol)
 
 
 def _assert_pair_parity(sol, orc, si, sj, n_i):

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from treensearch_tpu.config import SearchConfig
-from treensearch_tpu.ops.fastpath import (FastKnobs,
+from treensearch_tpu.ops.fastpath import (FastKnobs, attach_blocks,
                                           build_and_search_fast_carry_jit,
                                           build_and_search_fast_jit,
                                           make_fast_carry0,
@@ -23,6 +23,7 @@ from treensearch_tpu.oracle import BruteforceNSearch
 
 
 def _counts_nbrs(sol):
+    attach_blocks(sol)
     p = dict(sol["pairs"]["0-0"])
     cnt = np.asarray(p["counts"])
     nb = np.asarray(materialize_nbrs(p))

@@ -119,7 +119,8 @@ def test_sharded_fast_matches_single_device_fastpath(variable):
         pts_d, rad_d, jnp.float32(0.1), jnp.float32(cell),
         fresh_state(), cfg, knobs1)
     assert int(sol1["tile_overflow"]) == 0
-    from treensearch_tpu.ops.fastpath import materialize_nbrs
+    from treensearch_tpu.ops.fastpath import attach_blocks, materialize_nbrs
+    attach_blocks(sol1)
 
     # sharded fast path: per-device caps over ~N/8 + halos
     knobs8 = FastKnobs(wcap=256, dense_cap=1 << 13, use_pallas=True,

@@ -83,8 +83,8 @@ def test_step_fn_carries_settled_fat_caps():
     sol, _ = step(state0, jnp.asarray(pts))
     got_counts = np.asarray(sol["pairs"]["0-0"]["counts"])
     assert np.array_equal(got_counts, want_counts)
-    from treensearch_tpu.ops.fastpath import materialize_nbrs
-    nbrs = np.asarray(materialize_nbrs(sol["pairs"]["0-0"]))
+    from treensearch_tpu.ops.fastpath import attach_blocks, materialize_nbrs
+    nbrs = np.asarray(materialize_nbrs(attach_blocks(sol)["pairs"]["0-0"]))
     for k, i in enumerate(range(0, pts.shape[0], 97)):
         got = np.sort(nbrs[i][nbrs[i] >= 0][: got_counts[i]])
         assert np.array_equal(got, want_sets[k])

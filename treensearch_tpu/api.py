@@ -39,7 +39,7 @@ import numpy as np
 from .config import SearchConfig, round_up
 from .neighborlist import NeighborList, NeighborSolution
 from .ops.fastpath import (FastKnobs, _pallas_applicable, _pallas_statics,
-                           build_and_search_fast_carry_jit,
+                           attach_blocks, build_and_search_fast_carry_jit,
                            build_and_search_fast_jit, default_tiles_cap,
                            make_fast_carry0)
 from .ops.grid import GridState, fresh_state
@@ -330,6 +330,7 @@ class TreeNSearch:
         sr = self._search_radius if not self._variable else 0.0
         w = self._stencil_w(cell)
         sol = self._execute(points, radii, sr, cell, w, chunk, fast)
+        attach_blocks(sol)   # re-link the once-returned shared blocks
         max_count = max(
             (int(p["max_count"]) for p in sol["pairs"].values()), default=0)
         self._solution = NeighborSolution(sol["pairs"], self._nbr_cap)
@@ -795,6 +796,15 @@ class TreeNSearch:
         reference's temporal-coherence machinery
         (``TreeNSearch.cpp:417-424``); results are exact either way, and
         ``solution["rebuilt"]`` reports what happened.
+
+        The Pallas-path solution returns the tile-layout neighbor blocks
+        ONCE at top level (``blocks``/``qpos_set``/``fat_slot``) instead
+        of repeating them per pair — XLA allocates one output buffer per
+        pytree occurrence, which tripled output memory at 10M x 3 sets.
+        Call ``ops.fastpath.attach_blocks(sol)`` on the host before
+        handing pairs to ``materialize_nbrs``/``NeighborSolution``
+        (``run()`` does this automatically); ``counts``/``max_count``
+        per pair work without it.
         """
         self._check()
         cell = self._effective_cell_size()

@@ -137,6 +137,34 @@ def materialize_nbrs(pair: dict) -> jnp.ndarray:
     return out
 
 
+def attach_blocks(sol: dict) -> dict:
+    """Re-link the shared candidate-set block arrays into each pair dict.
+
+    The jitted search returns each tile-layout neighbor block, per-set
+    qpos slice and the fat_slot map ONCE (top-level ``blocks`` /
+    ``qpos_set`` / ``fat_slot``) because XLA allocates one output buffer
+    per pytree occurrence — returning the same traced array in three
+    pair dicts tripled the output footprint to 12.2 GB at 10M x 3 sets.
+    Call this once on the HOST after the jit boundary; the pair dicts
+    then hold the same concrete (shared) buffers and every consumer
+    (``materialize_nbrs``, ``NeighborSolution``) works unchanged.
+    ``api`` does this automatically; only direct ``make_step_fn``
+    consumers that materialize neighbor rows need to call it.
+    No-op for solutions without tile-layout blocks (reference path).
+    """
+    if "blocks" not in sol:
+        return sol
+    for name, pair in sol["pairs"].items():
+        if "counts" not in pair or "nbrs" in pair or "nbrs_tiles" in pair:
+            continue   # empty-set stub or already attached
+        si, sj = name.split("-")
+        pair["nbrs_tiles"] = sol["blocks"][f"b{sj}"]["nbrs_tiles"]
+        pair["nbrs_fat"] = sol["blocks"][f"b{sj}"]["nbrs_fat"]
+        pair["qpos"] = sol["qpos_set"][f"s{si}"]
+        pair["fat_slot"] = sol["fat_slot"]
+    return sol
+
+
 def default_tiles_cap(n: int) -> int:
     """Static cap on row-aligned 128-slot tiles: every occupied grid row
     is padded to a multiple of 128, so the tile count is ceil(n/128) plus
@@ -675,6 +703,9 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
             "tile_overflow": carry.tile_overflow,
             "rows_overflow": carry.rows_overflow,
         }
+    # per-SET query-position slices, computed once: pairs sharing set_i
+    # share the slice (same device buffer at the jit boundary)
+    qpos_set = {}
     for (si, sj) in cfg.active_pairs:
         name = _pair_name(si, sj)
         n_i = cfg.set_sizes[si]
@@ -684,19 +715,21 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
             # separate — scattering fat nbr rows over the narrow output
             # would copy the whole multi-GB narrow array, measured OOM
             # at 10M — and merge by select inside materialize_nbrs)
-            ppos = jax.lax.dynamic_slice_in_dim(
-                carry.qpos, cfg.set_offsets[si], n_i)
+            if f"s{si}" not in qpos_set:
+                qpos_set[f"s{si}"] = jax.lax.dynamic_slice_in_dim(
+                    carry.qpos, cfg.set_offsets[si], n_i)
             counts = jax.lax.optimization_barrier(
-                blk[sj]["counts_flat"][ppos])
+                blk[sj]["counts_flat"][qpos_set[f"s{si}"]])
             max_count = jnp.max(counts)
-            # neighbor rows stay in tile layout + per-point pointer
-            # (see materialize_nbrs); at 10M the per-point gather
-            # alone is ~4 GB, so it runs only on demand
-            pairs[name] = {
-                "counts": counts, "max_count": max_count,
-                "nbrs_tiles": blk[sj]["nbrs_tiles"],
-                "nbrs_fat": blk[sj]["nbrs_fat"],
-                "fat_slot": carry.fat_slot, "qpos": ppos}
+            # neighbor rows stay in tile layout + per-point pointer (see
+            # materialize_nbrs), and the BLOCK arrays are returned ONCE
+            # in the top-level "blocks"/"qpos_set"/"fat_slot" entries —
+            # repeating the same traced array in several pair dicts
+            # makes XLA allocate an output buffer PER OCCURRENCE (no
+            # tuple-output aliasing): measured 12.2 GB of outputs for
+            # 4.3 GB of data at 10M x 3 sets (benchmarks/memprobe_10m).
+            # attach_blocks() re-links them host-side after the jit.
+            pairs[name] = {"counts": counts, "max_count": max_count}
         else:
             pairs[name] = {
                 "counts": jnp.zeros((0,), jnp.int32),
@@ -705,6 +738,11 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
 
     return {
         "pairs": pairs,
+        "blocks": {f"b{sj}": {"nbrs_tiles": blk[sj]["nbrs_tiles"],
+                              "nbrs_fat": blk[sj]["nbrs_fat"]}
+                   for sj in blk},
+        "qpos_set": qpos_set,
+        "fat_slot": carry.fat_slot,
         "cand_max": jnp.where(carry.fat_overflow > 0, carry.win_max, 0),
         "n_cells": carry.n_cells_stat,
         "error": state.error,
