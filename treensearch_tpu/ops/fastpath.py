@@ -250,13 +250,18 @@ def _pallas_statics(cfg: SearchConfig, knobs: FastKnobs) -> dict:
     pack = knobs.pack
     tiles_cap = round_up(knobs.tiles_cap if knobs.tiles_cap > 0 else
                          default_tiles_cap(cfg.n_points), knobs.tps)
+    wcap_r = round_up(knobs.wcap, 8 * pack)
+    fat_wcap_r = round_up(knobs.fat_wcap, 8 * pack)
     return {
         "w": w, "pack": pack,
-        "wcap": round_up(knobs.wcap, 8 * pack),
-        "fat_wcap": round_up(knobs.fat_wcap, 8 * pack),
+        "wcap": wcap_r,
+        "fat_wcap": fat_wcap_r,
         "fat_cap": knobs.fat_cap,
         "tiles_cap": tiles_cap,
         "NPAD": tiles_cap * PTILE,
+        # sentinel tail past NPAD: window DMAs overread up to a fat
+        # window, the fat tier's dummy ids read one full query tile
+        "slack": round_up(max(wcap_r, fat_wcap_r) + PTILE, 128),
         "nt8": -(-(tiles_cap + 1) // 8) * 8,  # +1 dummy: padded fat ids
         "rows_cap": knobs.rows_cap if knobs.rows_cap > 0 else
                     max(1 << 14, knobs.dense_cap >> 3),
@@ -280,7 +285,7 @@ def make_fast_carry0(cfg: SearchConfig, knobs: FastKnobs) -> FastCarry:
         lin_s=z((n,)), lin_chk=z((n,)),
         r_chk=jnp.zeros((n if cfg.variable else 0,), jnp.float32),
         idx_s=z((n,)), inv_perm=z((n,)), pp=z((n,)), qpos=z((n,)),
-        gidx=z((st["NPAD"] + 128,)),
+        gidx=z((st["NPAD"] + st["slack"],)),
         desc=z((st["nt8"], DESC_W)),
         fat_ids=z((st["fat_cap"],)), fat_slot=z((st["tiles_cap"],)),
         dense_overflow=z(()), tile_overflow=z(()), rows_overflow=z(()),
@@ -381,14 +386,21 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     npad_total = n + pads_inc[-1]
     tile_overflow = (npad_total > NPAD).astype(jnp.int32)
     pp = jnp.minimum(iota + pads_exc[rid], NPAD - 1)  # padded slot
+    # padded slot -> sorted slot (or n for padding); the sentinel tail
+    # serves window DMA overreads and the fat tier's padded dummy ids
+    gidx = jnp.full((NPAD + st["slack"],), n, jnp.int32).at[pp].set(iota)
 
     # ---- per-tile row/k extents -----------------------------------------
-    # a tile lies in ONE grid row, so min/max of the linear key give
-    # both the row id and the k-extent: two scatter-reduces total
-    tile_of = pp // PTILE
-    lmin = jnp.full((tiles_cap,), jnp.int32(np.iinfo(np.int32).max)
-                    ).at[tile_of].min(lin_s)
-    lmax = jnp.full((tiles_cap,), -1, jnp.int32).at[tile_of].max(lin_s)
+    # a tile lies in ONE grid row, so min/max of the linear key over its
+    # 128 padded slots give both the row id and the k-extent.  One gather
+    # through gidx + row reduces (the scatter-reduce formulation costs
+    # ~5x: the TPU scatter engine runs element-at-a-time)
+    g_t = gidx[:NPAD].reshape(tiles_cap, PTILE)
+    valid_t = g_t < n
+    lin_t = lin_s[jnp.minimum(g_t, n - 1)]
+    lmin = jnp.min(jnp.where(valid_t, lin_t,
+                             jnp.int32(np.iinfo(np.int32).max)), axis=1)
+    lmax = jnp.max(jnp.where(valid_t, lin_t, -1), axis=1)
     has = (lmax >= 0).astype(jnp.int32)
     trow = jnp.where(has > 0, lmin // dz, 0)
     k0 = lmin - trow * dz
@@ -403,8 +415,8 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     # local reach get length 0 and are skipped inside the kernel.
     if cfg.variable:
         row_rmax = jnp.zeros((rows_cap,), jnp.float32).at[rid].max(r_s)
-        tile_rmax = jnp.zeros((tiles_cap,), jnp.float32
-                              ).at[tile_of].max(r_s)
+        tile_rmax = jnp.max(jnp.where(
+            valid_t, r_s[jnp.minimum(g_t, n - 1)], 0.0), axis=1)
 
     # ---- window descriptors: one k-run per (di, dj) ---------------------
     # window = sorted range [table[row' + k0 - w], table[row' + k1+w+1])
@@ -434,9 +446,13 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         s = table[jnp.clip(base + k0 - wk, 0, dense_cap)]
         e = table[jnp.clip(base + k1 + wk + 1, 0, dense_cap)]
         lens_l.append(jnp.maximum(e - s, 0) * has * ok)
-        # window starts index the UNPADDED sorted records: only the
-        # query tiling needs row alignment, windows use exact ranges
-        starts_l.append(jnp.clip(s, 0, n))
+        # window starts index the PADDED record layout (one array
+        # serves queries and candidate windows): a window's k-run lies
+        # in one grid row, so adding that row's pad offset keeps the
+        # range contiguous and the length unchanged.  Rows' trailing
+        # pad slots carry sentinel records, so DMA overreads self-mask.
+        starts_l.append(jnp.clip(
+            s + pads_exc[jnp.minimum(rp, rows_cap - 1)], 0, NPAD))
     starts = jnp.stack(starts_l, axis=1)
     lens = jnp.stack(lens_l, axis=1)
     if owned_rng is not None:
@@ -486,9 +502,6 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     # double gather showed up as a real per-step cost at 1M)
     qpos_map = jnp.zeros((n,), jnp.int32).at[idx_s].set(
         pp, unique_indices=True)
-    # padded slot -> sorted slot (or n for padding); the extra all-sentinel
-    # tile serves the fat tier's padded dummy ids
-    gidx = jnp.full((NPAD + PTILE,), n, jnp.int32).at[pp].set(iota)
     if n > 1:
         n_cells_stat = 1 + jnp.sum(lin_s[1:] != lin_s[:-1])
     else:
@@ -586,25 +599,22 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     sent = sent.at[4].set(jnp.int32(sentinel_orig if sentinel_orig
                                     is not None else n))
     sent = sent.at[5].set(jnp.int32(-1))
-    slack = max(wcap, fat_wcap, PTILE)
-    # candidate records stay in plain sorted order (contiguous build,
-    # no scatter) with a sentinel tail for window overreads; `pack`
-    # points per 128-lane row (sublane-dim row DMAs take exact
-    # unaligned starts; lane-dim needs 128 alignment — see
-    # ops/pallas_pairs.py docstring)
+    # ONE padded record array serves queries and candidate windows (the
+    # window descriptors index the padded layout; see _pallas_prep).
+    # Built by a row gather through the carried padded-slot map (a
+    # direct (n, 8) row scatter runs on the scatter engine at ~10 GB/s
+    # and costs ~45 ms/step at 1M, benchmarks/recbuild_probe.py).
+    # Padding slots (gidx = n) pick up the sentinel record: far coords
+    # kill the distance test, orig = n self-excludes sentinels.
     lpp = 128 // pack
-    tail = slack + (-n % pack)
-    rec_lp = jnp.pad(
-        jnp.concatenate([rec8, jnp.broadcast_to(sent,
-                                                (tail, N_FIELDS))]),
-        ((0, 0), (0, lpp - N_FIELDS)))
-    rec_pad = rec_lp.reshape(-1, 128)
-    # queries DO need lane alignment: gather rows through the carried
-    # padded-slot map (a direct (n, 8) row scatter runs on the scatter
-    # engine at ~10 GB/s and costs ~45 ms/step at 1M,
-    # benchmarks/recbuild_probe.py; this formulation is ~3 ms)
     rec8x = jnp.concatenate([rec8, sent[None]])
-    q_t = rec8x[jnp.minimum(carry.gidx, n)].T   # (8, NPAD+128)
+    recp8 = rec8x[jnp.minimum(carry.gidx, n)]   # (NPAD+slack, 8)
+    q_t = recp8.T                               # queries: fields on sublanes
+    # candidates: `pack` points per 128-lane row (sublane-dim row DMAs
+    # take exact unaligned starts; lane-dim needs 128 alignment — see
+    # ops/pallas_pairs.py docstring)
+    rec_pad = jnp.pad(
+        recp8, ((0, 0), (0, lpp - N_FIELDS))).reshape(-1, 128)
 
     params = jnp.zeros((8, DESC_W), jnp.float32).at[0, 0].set(r2_fixed)
 
