@@ -26,6 +26,8 @@ eng.resize_point_set(0, pts)
 eng.set_cell_size(float(os.environ.get("CELLF", 1.0)) * R)
 eng._wcap = int(os.environ.get("WCAP", 192))
 eng._pack = int(os.environ.get("PACK", 4))
+if "TPS" in os.environ:
+    eng.set_tiles_per_step(int(os.environ["TPS"]))
 eng.run()
 total = int(np.asarray(eng.get_neighbors(0, 0)[0]).sum())
 assert total == 32759462, total

@@ -241,27 +241,37 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
     m2 = pc_off[-1]
     lpp = 128 // pack          # lanes per point
     wrows = wcap // pack       # DMA rows per window
+    # double-buffered window banks: tile g+1's window DMAs are issued
+    # before tile g's compute (and tile 0's before the output-init
+    # writes), so the per-tile first-window DMA latency hides under the
+    # previous tile's VPU work instead of stalling every tile
+    n_banks = 1 if (fat_tier or tiles_per_step == 1) else 2
+
+    def _run_pred(desc_ref, row):
+        is_fat = desc_ref[row, FAT_COL] != 0
+        run = is_fat if fat_tier else jnp.logical_not(is_fat)
+        if skip_stage >= 3:     # dev: measure the pure grid/pipeline floor
+            run = jnp.bool_(False)
+        return run
+
+    def issue(desc_ref, row, rec_ref, win, sems, bank):
+        @pl.when(_run_pred(desc_ref, row))
+        def _():
+            for w in range(n_win):
+                pltpu.make_async_copy(
+                    rec_ref.at[pl.ds(desc_ref[row, w] // pack, wrows)],
+                    win.at[bank, w], sems.at[bank, w]).start()
 
     def body(desc_ref, row, params_ref, qt_ref, qo, rec_ref, out_refs,
-             co, g_out, win, outc, sems):
+             co, g_out, win, outc, sems, bank):
         # qo/co/no: lane offset into the query block and row offsets into
         # the counts/nbrs output blocks for this tile (several tiles are
         # processed per grid step to amortize the per-step pipeline
         # overhead, measured ~5.6 us/step at 1M)
         r2_fixed = params_ref[0, 0]
 
-        is_fat = desc_ref[row, FAT_COL] != 0
-        run = is_fat if fat_tier else jnp.logical_not(is_fat)
-        if skip_stage >= 3:     # dev: measure the pure grid/pipeline floor
-            run = jnp.bool_(False)
-
-        @pl.when(run)
+        @pl.when(_run_pred(desc_ref, row))
         def _():
-            for w in range(n_win):
-                pltpu.make_async_copy(
-                    rec_ref.at[pl.ds(desc_ref[row, w] // pack, wrows)],
-                    win.at[w], sems.at[w]).start()
-
             # record arrays are int32-typed (coords as f32 bit patterns):
             # integer moves never flush the denormal patterns small
             # indices would have as floats (see ops/fastpath.py)
@@ -278,7 +288,7 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                 # streams windows w+1.. while the VPU processes window w
                 pltpu.make_async_copy(
                     rec_ref.at[pl.ds(desc_ref[row, w] // pack, wrows)],
-                    win.at[w], sems.at[w]).wait()
+                    win.at[bank, w], sems.at[bank, w]).wait()
                 ln = desc_ref[row, LENS_OFF + w]
                 phase0 = desc_ref[row, w] % pack  # first slot's lane group
 
@@ -295,10 +305,10 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                         all_ws = []
                     for f in range(pack):
                         o = f * lpp
-                        wx = _f32(win[w, :, o + F_X:o + F_X + 1])
-                        wy = _f32(win[w, :, o + F_Y:o + F_Y + 1])
-                        wz = _f32(win[w, :, o + F_Z:o + F_Z + 1])
-                        wo = win[w, :, o + F_ORIG:o + F_ORIG + 1]
+                        wx = _f32(win[bank, w, :, o + F_X:o + F_X + 1])
+                        wy = _f32(win[bank, w, :, o + F_Y:o + F_Y + 1])
+                        wz = _f32(win[bank, w, :, o + F_Z:o + F_Z + 1])
+                        wo = win[bank, w, :, o + F_ORIG:o + F_ORIG + 1]
 
                         ddx = wx - qx
                         ddy = wy - qy
@@ -307,7 +317,7 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                         if variable:
                             crit = d2 <= my_r2
                             if symmetric:
-                                wr = _f32(win[w, :, o + F_R:o + F_R + 1])
+                                wr = _f32(win[bank, w, :, o + F_R:o + F_R + 1])
                                 crit = crit | (d2 <= wr * wr)
                         else:
                             crit = d2 <= r2_fixed
@@ -326,7 +336,7 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                         all_vals.append(wo * ones_t)
                         if multi_set:
                             all_ws.append(
-                                win[w, :, o + F_SET:o + F_SET + 1]
+                                win[bank, w, :, o + F_SET:o + F_SET + 1]
                                 * ones_t)
                     if pack == 1:
                         mask_geo, wo_b = masks[0], all_vals[0]
@@ -401,32 +411,59 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
             out_refs = rest[:n_cnt + n_blocks]
             win, outc, sems = rest[n_cnt + n_blocks:]
             row = ids_ref[pl.program_id(0)] % 8
+            issue(desc_ref, row, rec_ref, win, sems, 0)
             _init_outs(out_refs)
             body(desc_ref, row, params_ref, qt_ref, 0, rec_ref, out_refs,
-                 0, 0, win, outc, sems)
+                 0, 0, win, outc, sems, 0)
     else:
         assert G in (1, 2, 4, 8)
+        spb = 8 // G  # grid steps sharing one 8-row descriptor block
 
         def kernel(desc_ref, params_ref, qt_ref, rec_ref, *rest):
             out_refs = rest[:n_cnt + n_blocks]
             win, outc, sems = rest[n_cnt + n_blocks:]
-            _init_outs(out_refs)
             if G == 8:
-                for g in range(8):
-                    body(desc_ref, g, params_ref, qt_ref, g * TILE,
-                         rec_ref, out_refs, g * 8, g,
-                         win, outc, sems)
+                rows = list(range(8))
+                issue(desc_ref, rows[0], rec_ref, win, sems, 0)
+            elif G == 1:
+                rows = [pl.program_id(0) % spb]
+                issue(desc_ref, rows[0], rec_ref, win, sems, 0)
             else:
-                base = (pl.program_id(0) % (8 // G)) * G
-                for g in range(G):
-                    body(desc_ref, base + g, params_ref, qt_ref, g * TILE,
-                         rec_ref, out_refs, g * 8, g,
-                         win, outc, sems)
+                pid = pl.program_id(0)
+                sub = pid % spb
+                base = sub * G
+                rows = [base + g for g in range(G)]
+                # steps past the first of each descriptor block had their
+                # first tile cross-step-prefetched by the previous step
+                @pl.when(sub == 0)
+                def _():
+                    issue(desc_ref, rows[0], rec_ref, win, sems, 0)
+            _init_outs(out_refs)
+            for g in range(G):
+                if g + 1 < G:
+                    issue(desc_ref, rows[g + 1], rec_ref, win, sems,
+                          (g + 1) % n_banks)
+                elif G in (2, 4):
+                    # cross-step prefetch: the next grid step's first tile
+                    # sits in the same descriptor block unless this step
+                    # is the block's last; G even => its bank is always 0.
+                    # Gate on a next step existing so no DMA is left
+                    # unawaited at kernel exit.
+                    nxt = base + G
+                    ok = (nxt < 8) & (pl.program_id(0) + 1
+                                      < pl.num_programs(0))
+
+                    @pl.when(ok)
+                    def _():
+                        issue(desc_ref, nxt, rec_ref, win, sems, 0)
+                body(desc_ref, rows[g], params_ref, qt_ref, g * TILE,
+                     rec_ref, out_refs, g * 8, g,
+                     win, outc, sems, g % n_banks)
 
     scratch = [
-        pltpu.VMEM((n_win, wrows, 128), jnp.int32),
+        pltpu.VMEM((n_banks, n_win, wrows, 128), jnp.int32),
         pltpu.VMEM((n_blocks * m2, TILE), jnp.int32),
-        pltpu.SemaphoreType.DMA((n_win,)),
+        pltpu.SemaphoreType.DMA((n_banks, n_win)),
     ]
 
     def call(n_tiles, desc, params, q_t, rec, ids=None):
