@@ -28,6 +28,11 @@ eng._wcap = int(os.environ.get("WCAP", 192))
 eng._pack = int(os.environ.get("PACK", 4))
 if "TPS" in os.environ:
     eng.set_tiles_per_step(int(os.environ["TPS"]))
+if "MXU" in os.environ:
+    eng._mxu_prefix = os.environ["MXU"] == "1"
+if "PRE" in os.environ:
+    eng.set_prestage_caps(int(os.environ["PRE"]),
+                          int(os.environ.get("PREE", os.environ["PRE"])))
 eng.run()
 total = int(np.asarray(eng.get_neighbors(0, 0)[0]).sum())
 assert total == 32759462, total
