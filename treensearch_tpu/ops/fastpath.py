@@ -561,15 +561,14 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     idx_s = carry.idx_s
     iota = jnp.arange(n, dtype=jnp.int32)
 
-    pts_s = points[idx_s]
     if set_ids_data is not None:
-        set_id_s = set_ids_data[idx_s]
-    else:
-        set_ids = jnp.asarray(np.repeat(
+        set_id_o = set_ids_data
+    elif cfg.n_sets > 1:
+        set_id_o = jnp.asarray(np.repeat(
             np.arange(cfg.n_sets, dtype=np.int32), cfg.set_sizes))
-        set_id_s = set_ids[idx_s]
-    orig_s = orig_ids[idx_s] if orig_ids is not None else idx_s
-    r_s = radii[idx_s] if cfg.variable else None
+    else:
+        set_id_o = jnp.zeros((n,), jnp.int32)
+    orig_o = orig_ids if orig_ids is not None else iota
     r2_fixed = (search_radius * search_radius).astype(jnp.float32)
 
     # ---- padded record arrays -------------------------------------------
@@ -585,10 +584,15 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     def _asbits(x):
         return jax.lax.bitcast_convert_type(x, jnp.int32)
 
-    rfield = r_s if cfg.variable else jnp.zeros((n,), jnp.float32)
-    rec8 = jnp.stack([_asbits(pts_s[:, 0]), _asbits(pts_s[:, 1]),
-                      _asbits(pts_s[:, 2]), _asbits(rfield),
-                      orig_s, set_id_s,
+    rfield = radii if cfg.variable else jnp.zeros((n,), jnp.float32)
+    # records are built in ORIGINAL point order (no gathers: the columns
+    # are the input arrays themselves), then moved to the padded layout
+    # by ONE row gather through the composed original-index map below —
+    # this replaces the r2 scheme's separate points[idx_s] /
+    # set_ids[idx_s] 1M-row gathers with a single (NPAD,) index gather
+    rec8 = jnp.stack([_asbits(points[:, 0]), _asbits(points[:, 1]),
+                      _asbits(points[:, 2]), _asbits(rfield),
+                      orig_o, set_id_o,
                       jnp.zeros((n,), jnp.int32),
                       jnp.zeros((n,), jnp.int32)], axis=1)
     sent_xyz = jax.lax.bitcast_convert_type(jnp.float32(SENTINEL),
@@ -608,7 +612,11 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     # kill the distance test, orig = n self-excludes sentinels.
     lpp = 128 // pack
     rec8x = jnp.concatenate([rec8, sent[None]])
-    recp8 = rec8x[jnp.minimum(carry.gidx, n)]   # (NPAD+slack, 8)
+    # padded slot -> original point index (sorted-slot map composed with
+    # the sort permutation; padding slots point at the sentinel row n)
+    idx_comp = jnp.concatenate([idx_s, jnp.full((1,), n, jnp.int32)])[
+        jnp.minimum(carry.gidx, n)]
+    recp8 = rec8x[idx_comp]                     # (NPAD+slack, 8)
     q_t = recp8.T                               # queries: fields on sublanes
     # candidates: `pack` points per 128-lane row (sublane-dim row DMAs
     # take exact unaligned starts; lane-dim needs 128 alignment — see
