@@ -391,19 +391,28 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     gidx = jnp.full((NPAD + st["slack"],), n, jnp.int32).at[pp].set(iota)
 
     # ---- per-tile row/k extents -----------------------------------------
-    # a tile lies in ONE grid row, so min/max of the linear key over its
-    # 128 padded slots give both the row id and the k-extent.  One gather
-    # through gidx + row reduces (the scatter-reduce formulation costs
-    # ~5x: the TPU scatter engine runs element-at-a-time)
-    g_t = gidx[:NPAD].reshape(tiles_cap, PTILE)
-    valid_t = g_t < n
-    lin_t = lin_s[jnp.minimum(g_t, n - 1)]
-    lmin = jnp.min(jnp.where(valid_t, lin_t,
-                             jnp.int32(np.iinfo(np.int32).max)), axis=1)
-    lmax = jnp.max(jnp.where(valid_t, lin_t, -1), axis=1)
-    has = (lmax >= 0).astype(jnp.int32)
-    trow = jnp.where(has > 0, lmin // dz, 0)
-    k0 = lmin - trow * dz
+    # a tile lies in ONE grid row and ``lin_s`` is sorted, so the tile's
+    # row id and k-extent need only ARITHMETIC on the row tables plus two
+    # one-element-per-tile gathers: tile t's grid row is the last padded
+    # row starting at or before slot 128*t (binary search over the padded
+    # row starts), its first/last real sorted slots follow from that
+    # row's start/length, and lin_s at those two slots give the k-extent.
+    # This replaces the r2 scheme's (NPAD,) gather + full-tile reduces
+    # (~14 ms of the 1M prep, benchmarks/NOTES.md stage table).
+    pstart = row_starts[:-1] + pads_exc          # padded row starts
+    row_len = row_starts[1:] - row_starts[:-1]
+    t0 = jnp.arange(tiles_cap, dtype=jnp.int32) * PTILE
+    tr = jnp.clip(jnp.searchsorted(
+        pstart, t0, side='right').astype(jnp.int32) - 1, 0, rows_cap - 1)
+    off_t = t0 - pstart[tr]
+    cnt_t = jnp.clip(row_len[tr] - off_t, 0, PTILE)   # real slots in tile
+    has = (cnt_t > 0).astype(jnp.int32)
+    a_t = jnp.clip(row_starts[:-1][tr] + off_t, 0, jnp.maximum(n - 1, 0))
+    b_t = jnp.clip(a_t + cnt_t - 1, 0, jnp.maximum(n - 1, 0))
+    lmin = jnp.where(has > 0, lin_s[a_t], 0) if n > 0 else t0 * 0
+    lmax = jnp.where(has > 0, lin_s[b_t], 0) if n > 0 else t0 * 0
+    trow = jnp.where(has > 0, tr, 0)
+    k0 = jnp.maximum(lmin - trow * dz, 0)
     k1 = jnp.maximum(lmax - trow * dz, 0)
 
     # ---- local stencil reach (variable mode) ----------------------------
@@ -415,6 +424,8 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     # local reach get length 0 and are skipped inside the kernel.
     if cfg.variable:
         row_rmax = jnp.zeros((rows_cap,), jnp.float32).at[rid].max(r_s)
+        g_t = gidx[:NPAD].reshape(tiles_cap, PTILE)
+        valid_t = g_t < n
         tile_rmax = jnp.max(jnp.where(
             valid_t, r_s[jnp.minimum(g_t, n - 1)], 0.0), axis=1)
 
