@@ -81,6 +81,7 @@ class FastKnobs(NamedTuple):
     rows_cap: int = 0          # grid-row array slots (0 = auto)
     mxu_prefix: bool = True    # MXU tril-matmul prefix counts (measured +)
     packed_carry: bool = False  # 1-roll packed compaction (measured -)
+    phase_prefix: bool = False  # per-phase MXU prefixes (1/pack the MACs)
     skip_stage: int = 0        # DEV ONLY: 1 = no per-window compaction,
     #                            2 = no merge either, 3 = kernel body off,
     #                            4 = + no output init (stage attribution)
@@ -590,8 +591,10 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     # to zero in float relayouts (observed at 1M: every candidate
     # orig read 0, turning off self-exclusion).  Integer moves never
     # flush, and any f32 pattern is a valid int32.
-    # Padding slots carry sentinel records: far coords kill the
-    # distance test, orig = n makes sentinels self-exclude each other.
+    # Padding slots carry sentinel records: NaN coords make d^2 NaN so
+    # the distance compare fails against every candidate and between
+    # sentinels themselves (which lets the kernel restrict the index
+    # self-exclusion to the center window).
     def _asbits(x):
         return jax.lax.bitcast_convert_type(x, jnp.int32)
 
@@ -619,8 +622,8 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     # Built by a row gather through the carried padded-slot map (a
     # direct (n, 8) row scatter runs on the scatter engine at ~10 GB/s
     # and costs ~45 ms/step at 1M, benchmarks/recbuild_probe.py).
-    # Padding slots (gidx = n) pick up the sentinel record: far coords
-    # kill the distance test, orig = n self-excludes sentinels.
+    # Padding slots (gidx = n) pick up the sentinel record: NaN coords
+    # fail every distance compare (orig = n is kept as belt-and-braces).
     lpp = 128 // pack
     rec8x = jnp.concatenate([rec8, sent[None]])
     # padded slot -> original point index (sorted-slot map composed with
@@ -628,6 +631,10 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     idx_comp = jnp.concatenate([idx_s, jnp.full((1,), n, jnp.int32)])[
         jnp.minimum(carry.gidx, n)]
     recp8 = rec8x[idx_comp]                     # (NPAD+slack, 8)
+    # barrier: without it XLA fuses the lane-pad + reshape + transpose
+    # relayouts below INTO the row gather, and the whole record build
+    # runs at gather-engine speed (~13 GB/s) instead of copy bandwidth
+    recp8 = jax.lax.optimization_barrier(recp8)
     q_t = recp8.T                               # queries: fields on sublanes
     # candidates: `pack` points per 128-lane row (sublane-dim row DMAs
     # take exact unaligned starts; lane-dim needs 128 alignment — see
@@ -653,7 +660,8 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                  # local cfg does not know -> disable packed-carry there
                  val_bound=(1 << 30) if raw else max(cfg.set_sizes),
                  mxu_prefix=knobs.mxu_prefix,
-                 packed_carry=knobs.packed_carry)
+                 packed_carry=knobs.packed_carry,
+                 phase_prefix=knobs.phase_prefix)
     n_blocks_dbg = len(cand_sets)
     if knobs.skip_stage >= 5:
         # DEV: bypass the pallas calls entirely (XLA-side floor); >= 6

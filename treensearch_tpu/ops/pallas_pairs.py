@@ -22,9 +22,12 @@ where [k0, k1] is the tile's k-extent.  Consequences, all load-bearing:
     twice and the expensive per-candidate cell-membership check of r1
     (quantize + 3-axis compare, ~12 VPU ops/element) is unnecessary:
     ``d^2 <= r^2`` alone is exact;
-  - padding slots carry sentinel records (coords 1e18, orig = n), which
-    are excluded by the distance test against any real point and by the
-    self-exclusion test against each other — no validity lanes needed.
+  - padding slots carry sentinel records (coords NaN, orig = n): NaN
+    fails every ``d^2 <= r^2`` compare, so sentinels are excluded against
+    real points AND against each other — no validity lanes needed, and
+    the index-equality self-exclusion is only needed where the query's
+    own record can actually appear: the CENTER (0, 0) window of its own
+    tile (every other window is a different grid row).
 
 v4 additions (round 3):
 
@@ -95,7 +98,12 @@ DESC_W = 128    # descriptor row width
 LENS_OFF = 64   # descriptor column of window lengths (max 49 windows, W<=3)
 FAT_COL = 127   # descriptor column: 1 = tile needs the fat kernel
 
-SENTINEL = 1.0e18  # padding-slot coordinate; (SENTINEL-x)^2 -> inf > r^2
+# Padding-slot coordinate: NaN makes d^2 NaN, and NaN <= r^2 is false, so
+# sentinel records fail the distance test against every candidate AND
+# against each other (sentinel query vs sentinel candidate: d^2 = NaN).
+# The latter is what lets the kernel skip the index self-exclusion compare
+# outside the center window (a 1e18 sentinel would give d^2 = 0 there).
+SENTINEL = float("nan")
 
 
 def _f32(x):
@@ -104,7 +112,7 @@ def _f32(x):
 
 def _cumsum_sub(x: jnp.ndarray, m: int) -> jnp.ndarray:
     """Inclusive prefix sum along sublanes (axis 0), Hillis-Steele."""
-    sub = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
     s = 1
     while s < m:
         shifted = pltpu.roll(x, s, 0)       # shifted[i] = x[i - s]
@@ -142,7 +150,8 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
     otherwise two planes (2 rotates) are carried.
     """
     m, q = mask.shape
-    sub = jax.lax.broadcasted_iota(jnp.int32, (m, q), 0)
+    # (m, 1) row vector: every use broadcasts along lanes
+    sub = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     if p is None:
         p = _mask_prefix_mxu(mask) if mxu_prefix else \
             _cumsum_sub(mask.astype(jnp.int32), m)
@@ -187,7 +196,8 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     pack: int = 1, skip_stage: int = 0,
                     val_bound: int = 1 << 30, tiles_per_step: int = 1,
                     mxu_prefix: bool = DEFAULT_MXU_PREFIX,
-                    packed_carry: bool = DEFAULT_PACKED_CARRY):
+                    packed_carry: bool = DEFAULT_PACKED_CARRY,
+                    phase_prefix: bool = False):
     """Build a pallas_call for one tier.
 
     Narrow tier (``fat_tier=False``): grid over all tiles; tiles whose
@@ -262,8 +272,10 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     rec_ref.at[pl.ds(desc_ref[row, w] // pack, wrows)],
                     win.at[bank, w], sems.at[bank, w]).start()
 
+    nw8 = -(-n_win // 8) * 8
+
     def body(desc_ref, row, params_ref, qt_ref, qo, rec_ref, out_refs,
-             co, g_out, win, outc, sems, bank):
+             co, g_out, win, outc, wsc, sems, bank):
         # qo/co/no: lane offset into the query block and row offsets into
         # the counts/nbrs output blocks for this tile (several tiles are
         # processed per grid step to amortize the per-step pipeline
@@ -272,6 +284,9 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
 
         @pl.when(_run_pred(desc_ref, row))
         def _():
+            # per-(block, window) survivor counts: the merge's analytic
+            # displacement needs the running sum in window order
+            wsc[:, :] = jnp.zeros((n_blocks * nw8, TILE), jnp.int32)
             # record arrays are int32-typed (coords as f32 bit patterns):
             # integer moves never flush the denormal patterns small
             # indices would have as floats (see ops/fastpath.py)
@@ -281,7 +296,10 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
             q_orig = qt_ref[F_ORIG:F_ORIG + 1, qo:qo + TILE]
             my_r2 = _f32(qt_ref[F_R:F_R + 1, qo:qo + TILE]) ** 2
 
-            sub_r = jax.lax.broadcasted_iota(jnp.int32, (wrows, TILE), 0)
+            # row-vector iota: the in-window validity range depends only
+            # on the candidate ROW, so it is computed lane-invariant and
+            # broadcast into the mask (1 AND/elem instead of ~5 ops/elem)
+            sub_c = jax.lax.broadcasted_iota(jnp.int32, (wrows, 1), 0)
 
             for w in range(n_win):
                 # wait per window right before its use: the DMA engine
@@ -325,10 +343,15 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                         # ranges, so d^2 <= r^2 is exact: no cell-
                         # membership recompute (r1's in_stencil) needed.
                         # in-window offset of (row s, lane group f):
-                        # s*pack + f - phase0 in [0, ln)
-                        off = sub_r * pack + (f - phase0)
-                        pm = crit & (off >= 0) & (off < ln) \
-                            & (wo != q_orig)
+                        # s*pack + f - phase0 in [0, ln)  (lane-invariant)
+                        off = sub_c * pack + (f - phase0)
+                        pm = crit & ((off >= 0) & (off < ln))
+                        if w == center_win:
+                            # the query's own record can only appear in
+                            # the center window of its own tile (other
+                            # windows are different grid rows); sentinel-
+                            # sentinel pairs fail on NaN coords everywhere
+                            pm = pm & (wo != q_orig)
                         masks.append(pm)
                         # broadcast to full lane width BEFORE the phase
                         # concat: Mosaic cannot concatenate single-lane
@@ -348,10 +371,28 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                             if multi_set else None
                     surv_row = 1 if w == center_win else 2
                     for b in range(n_blocks):
-                        pm = mask_geo
                         if multi_set:
-                            pm = pm & (ws == cand_sets[b])
-                        if mxu_prefix:
+                            pms = [mf & (wf == cand_sets[b])
+                                   for mf, wf in zip(masks, all_ws)]
+                            pm = pms[0] if pack == 1 else \
+                                jnp.concatenate(pms, axis=0)
+                        else:
+                            pms = masks
+                            pm = mask_geo
+                        if mxu_prefix and phase_prefix and pack > 1:
+                            # per-PHASE prefixes + running offsets: the
+                            # tril matmul is O(m^2 q), so pack phase
+                            # pieces cost 1/pack the MACs of one big one
+                            run, parts = None, []
+                            for pmf in pms:
+                                pf = _mask_prefix_mxu(pmf)
+                                if run is not None:
+                                    pf = pf + run
+                                parts.append(pf)
+                                run = pf[pmf.shape[0] - 1:, :]
+                            prefix = jnp.concatenate(parts, axis=0)
+                            wsum = run
+                        elif mxu_prefix:
                             prefix = _mask_prefix_mxu(pm)
                             wsum = prefix[mask_geo.shape[0] - 1:, :]
                         else:
@@ -368,6 +409,7 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                         sb = co + sr % 8
                         sref[sb:sb + 1, :] = jnp.maximum(
                             sref[sb:sb + 1, :], wsum)
+                        wsc[b * nw8 + w:b * nw8 + w + 1, :] = wsum
                         if skip_stage < 1:  # dev knob: stage attribution
                             outc[b * m2 + pc_off[w]:
                                  b * m2 + pc_off[w + 1], :] = \
@@ -380,11 +422,32 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
             if skip_stage < 2:
                 for b in range(n_blocks):
                     merged = outc[b * m2:(b + 1) * m2, :]
+                    # ANALYTIC merge positions: each window's staging is
+                    # front-packed, so staged row (w, i) is the i-th
+                    # survivor of window w and its global position is
+                    # sum of earlier windows' staged counts + i + 1 — no
+                    # (m2, m2) prefix matmul.  min() against pre_caps
+                    # keeps the positions consistent under truncation
+                    # (truncated runs are discarded by the pre_surv
+                    # regrow signal, but stay well-formed).
+                    run = jnp.zeros((1, TILE), jnp.int32)
+                    p_parts = []
+                    for w in range(n_win):
+                        sw = jnp.minimum(
+                            wsc[b * nw8 + w:b * nw8 + w + 1, :],
+                            pre_caps[w])
+                        io = jax.lax.broadcasted_iota(
+                            jnp.int32, (pre_caps[w], 1), 0)
+                        p_parts.append(io + (run + 1))
+                        run = run + sw
+                    p_m = p_parts[0] if n_win == 1 else \
+                        jnp.concatenate(p_parts, axis=0)
                     # block rows beyond each cap stay -1
                     k_out = min(nbr_caps[b], m2)
                     no = g_out * nbr_caps[b]
                     out_refs[n_cnt + b][no:no + k_out, :] = _compact_sub(
-                        merged >= 0, merged, k_out, val_bound=val_bound,
+                        merged >= 0, merged, k_out, p=p_m,
+                        val_bound=val_bound,
                         mxu_prefix=mxu_prefix, packed_carry=packed_carry)
 
     G = 1 if fat_tier else tiles_per_step
@@ -409,19 +472,19 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
         def kernel(ids_ref, desc_ref, params_ref, qt_ref, rec_ref,
                    *rest):
             out_refs = rest[:n_cnt + n_blocks]
-            win, outc, sems = rest[n_cnt + n_blocks:]
+            win, outc, wsc, sems = rest[n_cnt + n_blocks:]
             row = ids_ref[pl.program_id(0)] % 8
             issue(desc_ref, row, rec_ref, win, sems, 0)
             _init_outs(out_refs)
             body(desc_ref, row, params_ref, qt_ref, 0, rec_ref, out_refs,
-                 0, 0, win, outc, sems, 0)
+                 0, 0, win, outc, wsc, sems, 0)
     else:
         assert G in (1, 2, 4, 8)
         spb = 8 // G  # grid steps sharing one 8-row descriptor block
 
         def kernel(desc_ref, params_ref, qt_ref, rec_ref, *rest):
             out_refs = rest[:n_cnt + n_blocks]
-            win, outc, sems = rest[n_cnt + n_blocks:]
+            win, outc, wsc, sems = rest[n_cnt + n_blocks:]
             if G == 8:
                 rows = list(range(8))
                 issue(desc_ref, rows[0], rec_ref, win, sems, 0)
@@ -458,11 +521,12 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                         issue(desc_ref, nxt, rec_ref, win, sems, 0)
                 body(desc_ref, rows[g], params_ref, qt_ref, g * TILE,
                      rec_ref, out_refs, g * 8, g,
-                     win, outc, sems, g % n_banks)
+                     win, outc, wsc, sems, g % n_banks)
 
     scratch = [
         pltpu.VMEM((n_banks, n_win, wrows, 128), jnp.int32),
         pltpu.VMEM((n_blocks * m2, TILE), jnp.int32),
+        pltpu.VMEM((n_blocks * nw8, TILE), jnp.int32),
         pltpu.SemaphoreType.DMA((n_banks, n_win)),
     ]
 
