@@ -60,8 +60,8 @@ cfg = eng._make_cfg(eng._chunk, eng._stencil_w(cell))
 knobs0 = eng._knobs(True)
 
 
-def run_skip(name, skip):
-    knobs = knobs0._replace(skip_stage=skip)
+def run_skip(name, skip, **kn):
+    knobs = knobs0._replace(skip_stage=skip, **kn)
 
     @jax.jit
     def loop(points, st0):
@@ -87,3 +87,6 @@ run_skip("S6 xla floor (no records)", 6)
 run_skip("S5 + record arrays", 5)
 run_skip("S4 + empty pallas pipeline", 4)
 run_skip("S0 full", 0)
+run_skip("S0 full + phase_prefix", 0, phase_prefix=True)
+run_skip("S0 full + packed_carry", 0, packed_carry=True)
+run_skip("S0 full + pp + pc", 0, phase_prefix=True, packed_carry=True)

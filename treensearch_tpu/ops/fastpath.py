@@ -194,6 +194,20 @@ def _blocked_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     return (within + row_off[:, None]).reshape(-1)[:m]
 
 
+def _blocked_cummax(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive 1-D forward cummax as a blocked 2-level scan (same
+    rationale as ``_blocked_cumsum``); values must be >= 0."""
+    m = x.shape[0]
+    blk = 1 << max(1, (m.bit_length() // 2))
+    pad_len = (-m) % blk
+    x2 = jnp.pad(x, (0, pad_len)).reshape(blk, -1)
+    within = jax.lax.cummax(x2, axis=1)
+    row_last = within[:, -1]
+    row_off = jnp.concatenate([jnp.zeros((1,), x.dtype),
+                               jax.lax.cummax(row_last)[:-1]])
+    return jnp.maximum(within, row_off[:, None]).reshape(-1)[:m]
+
+
 class FastCarry(NamedTuple):
     """Cell-assignment-derived state carried across steps (temporal
     coherence).
@@ -230,7 +244,11 @@ class FastCarry(NamedTuple):
     inv_perm: jnp.ndarray      # (n,) original index -> sorted slot
     pp: jnp.ndarray            # (n,) sorted slot -> padded (row-aligned) slot
     qpos: jnp.ndarray          # (n,) original index -> padded slot (pp o inv)
-    gidx: jnp.ndarray          # (NPAD+128,) padded slot -> sorted slot (or n)
+    opad: jnp.ndarray          # (NPAD+slack,) padded slot -> ORIGINAL point
+    #                            index (or n for padding): the sort
+    #                            permutation composed with the layout map
+    #                            at build time, so the per-step record
+    #                            build is one direct row gather
     desc: jnp.ndarray          # (nt8, DESC_W) window descriptors
     fat_ids: jnp.ndarray       # (fat_cap,) fat-tier tile ids
     fat_slot: jnp.ndarray      # (tiles_cap,) tile -> fat slot (-1 narrow)
@@ -286,7 +304,7 @@ def make_fast_carry0(cfg: SearchConfig, knobs: FastKnobs) -> FastCarry:
         lin_s=z((n,)), lin_chk=z((n,)),
         r_chk=jnp.zeros((n if cfg.variable else 0,), jnp.float32),
         idx_s=z((n,)), inv_perm=z((n,)), pp=z((n,)), qpos=z((n,)),
-        gidx=z((st["NPAD"] + st["slack"],)),
+        opad=z((st["NPAD"] + st["slack"],)),
         desc=z((st["nt8"], DESC_W)),
         fat_ids=z((st["fat_cap"],)), fat_slot=z((st["tiles_cap"],)),
         dense_overflow=z(()), tile_overflow=z(()), rows_overflow=z(()),
@@ -387,9 +405,12 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     npad_total = n + pads_inc[-1]
     tile_overflow = (npad_total > NPAD).astype(jnp.int32)
     pp = jnp.minimum(iota + pads_exc[rid], NPAD - 1)  # padded slot
-    # padded slot -> sorted slot (or n for padding); the sentinel tail
+    # padded slot -> ORIGINAL point index (or n for padding): composes the
+    # sort permutation into the layout scatter so the per-step record
+    # build needs no separate sorted-slot indirection; the sentinel tail
     # serves window DMA overreads and the fat tier's padded dummy ids
-    gidx = jnp.full((NPAD + st["slack"],), n, jnp.int32).at[pp].set(iota)
+    opad = jnp.full((NPAD + st["slack"],), n, jnp.int32).at[pp].set(
+        idx_s, unique_indices=True)
 
     # ---- per-tile row/k extents -----------------------------------------
     # a tile lies in ONE grid row and ``lin_s`` is sorted, so the tile's
@@ -403,8 +424,13 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     pstart = row_starts[:-1] + pads_exc          # padded row starts
     row_len = row_starts[1:] - row_starts[:-1]
     t0 = jnp.arange(tiles_cap, dtype=jnp.int32) * PTILE
-    tr = jnp.clip(jnp.searchsorted(
-        pstart, t0, side='right').astype(jnp.int32) - 1, 0, rows_cap - 1)
+    # tile -> grid row = max{r : pstart[r] <= 128*t}.  Padded row starts
+    # are PTILE-aligned, so row r claims tile pstart[r]//PTILE by
+    # scatter-max and a blocked forward cummax fills the gaps — no
+    # binary search (log2(rows) dependent gathers per tile on TPU).
+    tr0 = jnp.zeros((tiles_cap,), jnp.int32).at[pstart // PTILE].max(
+        jnp.arange(rows_cap, dtype=jnp.int32), mode="drop")
+    tr = _blocked_cummax(tr0)
     off_t = t0 - pstart[tr]
     cnt_t = jnp.clip(row_len[tr] - off_t, 0, PTILE)   # real slots in tile
     has = (cnt_t > 0).astype(jnp.int32)
@@ -425,10 +451,10 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     # local reach get length 0 and are skipped inside the kernel.
     if cfg.variable:
         row_rmax = jnp.zeros((rows_cap,), jnp.float32).at[rid].max(r_s)
-        g_t = gidx[:NPAD].reshape(tiles_cap, PTILE)
+        g_t = opad[:NPAD].reshape(tiles_cap, PTILE)
         valid_t = g_t < n
         tile_rmax = jnp.max(jnp.where(
-            valid_t, r_s[jnp.minimum(g_t, n - 1)], 0.0), axis=1)
+            valid_t, radii[jnp.minimum(g_t, n - 1)], 0.0), axis=1)
 
     # ---- window descriptors: one k-run per (di, dj) ---------------------
     # window = sorted range [table[row' + k0 - w], table[row' + k1+w+1])
@@ -522,7 +548,7 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     return FastCarry(
         valid=jnp.ones((), jnp.bool_), lin_s=lin_s, lin_chk=lin,
         r_chk=r_s,
-        idx_s=idx_s, inv_perm=inv_perm, pp=pp, qpos=qpos_map, gidx=gidx,
+        idx_s=idx_s, inv_perm=inv_perm, pp=pp, qpos=qpos_map, opad=opad,
         desc=desc, fat_ids=fat_ids, fat_slot=fat_slot,
         dense_overflow=dense_overflow, tile_overflow=tile_overflow,
         rows_overflow=rows_overflow,
@@ -622,15 +648,13 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     # Built by a row gather through the carried padded-slot map (a
     # direct (n, 8) row scatter runs on the scatter engine at ~10 GB/s
     # and costs ~45 ms/step at 1M, benchmarks/recbuild_probe.py).
-    # Padding slots (gidx = n) pick up the sentinel record: NaN coords
+    # Padding slots (opad = n) pick up the sentinel record: NaN coords
     # fail every distance compare (orig = n is kept as belt-and-braces).
     lpp = 128 // pack
     rec8x = jnp.concatenate([rec8, sent[None]])
-    # padded slot -> original point index (sorted-slot map composed with
-    # the sort permutation; padding slots point at the sentinel row n)
-    idx_comp = jnp.concatenate([idx_s, jnp.full((1,), n, jnp.int32)])[
-        jnp.minimum(carry.gidx, n)]
-    recp8 = rec8x[idx_comp]                     # (NPAD+slack, 8)
+    # padded slot -> original point index is carried pre-composed (opad),
+    # so the record build is ONE row gather
+    recp8 = rec8x[carry.opad]                   # (NPAD+slack, 8)
     # barrier: without it XLA fuses the lane-pad + reshape + transpose
     # relayouts below INTO the row gather, and the whole record build
     # runs at gather-engine speed (~13 GB/s) instead of copy bandwidth
