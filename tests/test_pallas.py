@@ -72,10 +72,19 @@ def _assert_pair_parity(sol, orc, si, sj, n_i):
 
 @pytest.mark.parametrize("variable", [False, True])
 def test_pallas_kernel_oracle_parity(variable):
-    """FULL-point exact parity (v3 cell-run tiles cover every point)."""
+    """FULL-point exact parity (v3 cell-run tiles cover every point).
+
+    Slab geometry (thin in x/y, long in z): the interpreter executes one
+    grid step per 128-slot tile, and the row-aligned layout pads every
+    occupied (i, j) row to 128 slots — a cube of this n costs ~50 mostly
+    empty rows, a 3x3-row slab ~16 full tiles for the same code paths
+    (multi-row stencils, boundary ghost padding, full oracle parity)."""
     rng = np.random.default_rng(3)
-    n, r = 1200, 0.09
+    # the variable case runs a 5x5 stencil (25 windows), so it gets a
+    # lower density / snugger wcap to keep the interpreter affordable
+    n, r = (600, 0.09) if variable else (1200, 0.09)
     pts_np = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    pts_np[:, :2] *= 0.42   # ~3-4 cells per horizontal axis
     rad_np = rng.uniform(0.8 * r, 1.2 * r, n).astype(np.float32) \
         if variable else None
     cell = 1.5 * (rad_np.min() if variable else r)
@@ -84,9 +93,10 @@ def test_pallas_kernel_oracle_parity(variable):
                        1024, 512, 96)
     # small fat/tile caps: the interpreter executes every grid step in
     # Python, so the defaults (fat_cap=1024) would cost minutes per call
-    knobs = FastKnobs(wcap=256, dense_cap=1 << 14, use_pallas=True,
-                      pre_cap=96, pre_edge=96, interpret=True, fat_cap=16,
-                      tiles_cap=128)
+    knobs = FastKnobs(wcap=160 if variable else 256, dense_cap=1 << 14,
+                      use_pallas=True,
+                      pre_cap=96, pre_edge=96, interpret=True, fat_cap=8,
+                      fat_wcap=512, tiles_cap=48)
     sol = _run_fast(pts_np, rad_np, r, cell, cfg, knobs)
     assert int(sol["pairs"]["0-0"]["max_count"]) <= 96
 
@@ -105,11 +115,13 @@ def test_pallas_multi_pair_asymmetric_matrix():
     n0, n1, r = 700, 500, 0.1
     p0 = rng.uniform(0, 1, (n0, 3)).astype(np.float32)
     p1 = rng.uniform(0, 1, (n1, 3)).astype(np.float32)
+    p0[:, :2] *= 0.45   # slab geometry (see oracle-parity test)
+    p1[:, :2] *= 0.45
     pairs = ((0, 0), (0, 1), (1, 0))
     cfg = SearchConfig((n0, n1), pairs, False, False, 1, 1024, 512, 96)
-    knobs = FastKnobs(wcap=256, dense_cap=1 << 14, use_pallas=True,
-                      pre_cap=96, pre_edge=48, interpret=True, fat_cap=16,
-                      tiles_cap=96)
+    knobs = FastKnobs(wcap=384, dense_cap=1 << 14, use_pallas=True,
+                      pre_cap=96, pre_edge=48, interpret=True, fat_cap=8,
+                      fat_wcap=512, tiles_cap=48)
     pts = np.concatenate([p0, p1])
     sol = _run_fast(pts, None, r, 1.5 * r, cfg, knobs)
 
@@ -128,16 +140,17 @@ def test_pallas_fat_tier_exact():
     (windows wider than the narrow wcap); parity must stay exact."""
     rng = np.random.default_rng(11)
     r = 0.08
-    cluster = (0.5 + 0.004 * rng.standard_normal((400, 3))).astype(
-        np.float32)
+    cluster = (np.asarray([0.18, 0.18, 0.5], np.float32)
+               + 0.004 * rng.standard_normal((400, 3))).astype(np.float32)
     sparse = rng.uniform(0, 1, (600, 3)).astype(np.float32)
+    sparse[:, :2] *= 0.36   # slab geometry (see oracle-parity test)
     pts = np.concatenate([cluster, sparse])
     n = pts.shape[0]
     cfg = SearchConfig((n,), ((0, 0),), False, False, 1, 1024, 512, 512)
     # wcap deliberately below the cluster's window width -> fat tier
-    knobs = FastKnobs(wcap=64, fat_wcap=1024, fat_cap=64,
+    knobs = FastKnobs(wcap=96, fat_wcap=1024, fat_cap=16,
                       dense_cap=1 << 14, use_pallas=True, pre_cap=448,
-                      pre_edge=448, interpret=True, tiles_cap=112)
+                      pre_edge=448, interpret=True, tiles_cap=48)
     sol = _run_fast(pts, None, r, 1.5 * r, cfg, knobs)
     assert int(sol["cand_max"]) == 0  # fat tier absorbed the wide windows
 
