@@ -58,16 +58,20 @@ def test_step_fn_carries_settled_fat_caps():
     fat_wcap/fat_cap/pre_cap)."""
     rng = np.random.default_rng(3)
     # dense cluster + sparse background: cluster tiles overflow the narrow
-    # window cap and need the fat tier
-    cluster = 0.5 + 0.004 * rng.standard_normal((320, 3))
+    # window cap and need the fat tier.  Slab geometry (thin x/y) keeps
+    # the row-aligned tile count low — each regrow re-runs the whole
+    # interpreted grid (see tests/test_pallas.py).
+    cluster = (np.asarray([0.18, 0.18, 0.5])
+               + 0.004 * rng.standard_normal((320, 3)))
     sparse = rng.uniform(0, 1, (480, 3))
+    sparse[:, :2] *= 0.36
     pts = np.concatenate([cluster, sparse]).astype(np.float32)
     eng = TreeNSearch()
     eng.add_point_set(pts)
     eng.set_search_radius(0.06)
     eng.set_all_searches(True)
     eng.set_use_pallas(True, interpret=True)
-    eng._tiles_cap = 64   # interpret executes each grid step in Python
+    eng._tiles_cap = 32   # interpret executes each grid step in Python
     # deliberately tiny fat-tier caps so run() must regrow them
     eng._fat_cap = 8
     eng._fat_wcap = 64

@@ -462,6 +462,16 @@ class TreeNSearch:
                     use_fast = False
                 sol = None  # release before re-running (10M solutions are GBs)
                 continue
+            # ---- batched cap growth ------------------------------------
+            # These signals are TRUE maxima computed from the window /
+            # survivor geometry (independent of any output truncation), so
+            # every exceeded cap can grow from ONE solution and re-run
+            # ONCE.  The structural overflows above (dense/rows/tile/
+            # straddle) stay one-at-a-time: their solutions are not
+            # trustworthy enough to read secondary signals from.  Growing
+            # caps one per re-run cost one full trace+compile+run per cap
+            # (minutes at 10M; the r3 config-5 first run paid 4).
+            grew = False
             cand_max = int(sol["cand_max"])
             if use_fast and int(sol.get("pallas_used", 0)) != 0:
                 if cand_max > 0:
@@ -471,28 +481,24 @@ class TreeNSearch:
                     self._fat_wcap = max(
                         self._fat_wcap,
                         round_up(int(cand_max * 1.25) + 1, 128))
-                    sol = None  # release before re-running (GBs at 10M)
-                    continue
+                    grew = True
                 pre_surv = int(sol.get("pre_surv_max", 0))
                 if pre_surv > self._pre_cap:
                     self._pre_cap = round_up(int(pre_surv * 1.25) + 1, 8)
-                    sol = None  # release before re-running (GBs at 10M)
-                    continue
+                    grew = True
                 pre_surv_e = int(sol.get("pre_surv_edge_max", 0))
                 if pre_surv_e > self._pre_edge:
                     self._pre_edge = round_up(int(pre_surv_e * 1.25) + 1, 8)
-                    sol = None
-                    continue
+                    grew = True
             cand_limit = self._wcap if use_fast else self._cand_cap
-            if cand_max > cand_limit:
+            if cand_max > cand_limit and not (
+                    use_fast and int(sol.get("pallas_used", 0)) != 0):
                 grown = round_up(int(cand_max * 1.25) + 1, 64)
                 if use_fast:
                     self._wcap = grown
                 else:
                     self._cand_cap = grown
-                sol = None  # release before re-running (10M solutions are GBs)
-                continue
-            grew = False
+                grew = True
             for (si, sj) in cfg.active_pairs:
                 mc = int(sol["pairs"][f"{si}-{sj}"]["max_count"])
                 if mc > self._cap_of(sj):
