@@ -310,10 +310,21 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                 ln = desc_ref[row, LENS_OFF + w]
                 phase0 = desc_ref[row, w] % pack  # first slot's lane group
 
-                for b in range(n_blocks):
-                    outc[b * m2 + pc_off[w]:
-                         b * m2 + pc_off[w + 1], :] = \
-                        jnp.full((pre_caps[w], TILE), -1, jnp.int32)
+                # the compact write below covers the window's whole
+                # staging slice (-1 for unfilled rows), so the explicit
+                # fill is only needed when the window is empty/skipped
+                if skip_stage >= 1:
+                    for b in range(n_blocks):
+                        outc[b * m2 + pc_off[w]:
+                             b * m2 + pc_off[w + 1], :] = \
+                            jnp.full((pre_caps[w], TILE), -1, jnp.int32)
+                else:
+                    @pl.when(ln == 0)
+                    def _(w=w):
+                        for b in range(n_blocks):
+                            outc[b * m2 + pc_off[w]:
+                                 b * m2 + pc_off[w + 1], :] = \
+                                jnp.full((pre_caps[w], TILE), -1, jnp.int32)
 
                 @pl.when(ln > 0)
                 def _(w=w, ln=ln, phase0=phase0):
