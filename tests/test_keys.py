@@ -67,3 +67,14 @@ def test_quantize_clamps_to_grid():
     ijk = K.quantize(pts, jnp.zeros(3, jnp.float32),
                      jnp.float32(10.0), jnp.array([8, 8, 8], jnp.int32))
     assert np.array_equal(np.asarray(ijk), [[0, 5, 7]])
+
+
+def test_blocked_scans_match_numpy():
+    from treensearch_tpu.ops.fastpath import _blocked_cummax, _blocked_cumsum
+    rng = np.random.default_rng(4)
+    for m in (1, 7, 128, 1000, 4097):
+        x = rng.integers(0, 50, m).astype(np.int32)
+        got = np.asarray(_blocked_cummax(jnp.asarray(x)))
+        assert np.array_equal(got, np.maximum.accumulate(x)), m
+        got_s = np.asarray(_blocked_cumsum(jnp.asarray(x)))
+        assert np.array_equal(got_s, np.cumsum(x)), m
