@@ -174,18 +174,24 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
         out = jnp.where(e > 0, c & ((1 << sh) - 1), -1)
         return out[:out_w, :]
 
-    d = jnp.where(keep, sub - (p - 1), -1)
+    # invalid slots carry INV = 2^30: every stride bit of INV is 0, so an
+    # invalid value can never satisfy `take` and needs no separate
+    # validity guard (4 fewer VPU ops per stride than a -1 encoding,
+    # whose sign bits alias every stride test)
+    INV = jnp.int32(1 << 30)
+    d = jnp.where(keep, sub - (p - 1), INV)
     v = vals
     s = 1
     while s < m:
         in_d = pltpu.roll(d, m - s, 0)      # in_d[i] = d[i + s]
         in_v = pltpu.roll(v, m - s, 0)
-        take = (in_d >= 0) & ((in_d & s) != 0) & (sub < m - s)
-        stay = (d >= 0) & ((d & s) == 0)
-        d = jnp.where(take, in_d - s, jnp.where(stay, d, -1))
+        take = ((in_d & s) != 0) & (sub < m - s)
+        stay = (d & s) == 0                  # invalid stays until taken
+        d = jnp.where(take, in_d - s, jnp.where(stay, d, INV))
         v = jnp.where(take, in_v, v)
         s <<= 1
-    return jnp.where(d >= 0, v, -1)[:out_w, :]
+    # every placed survivor has consumed all its displacement bits
+    return jnp.where(d == 0, v, -1)[:out_w, :]
 
 
 def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
