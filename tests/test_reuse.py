@@ -44,8 +44,10 @@ def test_carry_reuse_and_rebuild_exact():
     n, r = 300, 0.14
     pts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
     cfg = SearchConfig((n,), ((0, 0),), False, False, 1, 1024, 512, 96)
-    knobs = FastKnobs(wcap=256, dense_cap=1 << 14, use_pallas=True,
-                      pre_cap=96, pre_edge=96, interpret=True, fat_cap=16,
+    # interpret-mode cost scales with wcap x windows x tiles; windows
+    # here are <= ~30 slots, so 64 (vs 256) cuts the python kernel 4x
+    knobs = FastKnobs(wcap=64, dense_cap=1 << 14, use_pallas=True,
+                      pre_cap=48, pre_edge=48, interpret=True, fat_cap=8,
                       tiles_cap=64)
 
     def plain(p):
@@ -107,8 +109,8 @@ def test_carry_variable_radius_change_triggers_rebuild():
     cfg = SearchConfig((n,), ((0, 0),), True, True, 2, 1024, 512, 128)
     # ~10^3 cells -> ~100 occupied grid rows, each padded to 128 slots:
     # the row-aligned layout needs ~160 tiles here (64 would overflow)
-    knobs = FastKnobs(wcap=256, dense_cap=1 << 14, use_pallas=True,
-                      pre_cap=128, pre_edge=128, interpret=True, fat_cap=16,
+    knobs = FastKnobs(wcap=96, dense_cap=1 << 14, use_pallas=True,
+                      pre_cap=64, pre_edge=64, interpret=True, fat_cap=8,
                       tiles_cap=160)
     carry = make_fast_carry0(cfg, knobs)
     grid = fresh_state()

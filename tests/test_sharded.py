@@ -110,9 +110,11 @@ def test_sharded_fast_matches_single_device_fastpath(variable):
         stencil_w=1, chunk=64, cand_cap=512, nbr_cap=96)
     cell = 1.5 * 0.1
     # single-device fast path (interpret kernel)
-    knobs1 = FastKnobs(wcap=256, dense_cap=1 << 14, use_pallas=True,
-                       pre_cap=96, pre_edge=96, interpret=True,
-                       fat_cap=16, tiles_cap=128)
+    # windows of this cloud are <= ~40 slots: wcap 64 (vs 256) cuts
+    # the interpret-mode kernel cost 4x at identical coverage
+    knobs1 = FastKnobs(wcap=64, dense_cap=1 << 14, use_pallas=True,
+                       pre_cap=48, pre_edge=48, interpret=True,
+                       fat_cap=8, tiles_cap=128)
     pts_d = jnp.asarray(pts)
     rad_d = jnp.asarray(rad) if variable else None
     sol1, _ = build_and_search_fast_jit(
@@ -123,9 +125,9 @@ def test_sharded_fast_matches_single_device_fastpath(variable):
     attach_blocks(sol1)
 
     # sharded fast path: per-device caps over ~N/8 + halos
-    knobs8 = FastKnobs(wcap=256, dense_cap=1 << 13, use_pallas=True,
-                       pre_cap=96, pre_edge=96, interpret=True,
-                       fat_cap=16, tiles_cap=96)
+    knobs8 = FastKnobs(wcap=64, dense_cap=1 << 13, use_pallas=True,
+                       pre_cap=48, pre_edge=48, interpret=True,
+                       fat_cap=8, tiles_cap=96)
     sharded = jax.device_put(pts_d, NamedSharding(mesh, P("d")))
     sol2, _ = jax.jit(
         lambda p, r, st: build_and_search_sharded_fast(

@@ -451,13 +451,16 @@ class TreeNSearch:
             if use_fast and int(sol["straddle"]) != 0:
                 # a tile spans >= 3 grid rows. The pallas kernel's tile is
                 # fixed at 128, so straddle there means the dataset's rows
-                # are too short for it -> use the XLA tile loop, which can
-                # shrink its tiles; for extremely sparse rows fall back to
-                # the search-based reference path.
+                # are too short for it -> try the XLA tile loop at its
+                # MINIMUM tile once (straddle there means even 8-point
+                # tiles span 3+ rows), then the search-based reference
+                # path.  Each fallback step is a fresh trace (~3 s), so
+                # jumping straight to tile=8 instead of halving 128->8
+                # saves 3 re-traces on sparse/short-row data.
                 if use_pallas_now:
                     use_pallas_now = False
                 elif self._tile > 8:
-                    self._tile //= 2
+                    self._tile = 8
                 else:
                     use_fast = False
                 sol = None  # release before re-running (10M solutions are GBs)
