@@ -94,6 +94,7 @@ for ss, lab in ((3, "S3 pipeline+init"), (2, "S2 +dma+masks+counts"),
 # narrow-wcap sweep at the live pre-caps (fat tier absorbs the spill)
 for wc in (160, 176, 192, 224):
     loop_ms(base._replace(wcap=wc), f"wcap={wc}")
+# (phase_prefix / packed_carry A/Bs live at the end of probe_r4a.py)
 
 
 # ---- cell-size sweep -----------------------------------------------------

@@ -70,8 +70,16 @@ def _assert_pair_parity(sol, orc, si, sj, n_i):
         assert np.array_equal(got, orc.neighbors[(si, sj)][i]), (si, sj, i)
 
 
-@pytest.mark.parametrize("variable", [False, True])
-def test_pallas_kernel_oracle_parity(variable):
+@pytest.mark.parametrize("variable,pack,phase_prefix", [
+    (False, 1, False),
+    (True, 1, False),
+    # packed records (the 1M headline runs pack=4, 10M runs pack=16):
+    # per-phase lane extraction, DMA row-floor starts, phase0 offsets
+    (False, 4, False),
+    # per-phase MXU prefixes with running offsets (pack > 1 only)
+    (False, 4, True),
+])
+def test_pallas_kernel_oracle_parity(variable, pack, phase_prefix):
     """FULL-point exact parity (v3 cell-run tiles cover every point).
 
     Slab geometry (thin in x/y, long in z): the interpreter executes one
@@ -96,7 +104,8 @@ def test_pallas_kernel_oracle_parity(variable):
     knobs = FastKnobs(wcap=160 if variable else 256, dense_cap=1 << 14,
                       use_pallas=True,
                       pre_cap=96, pre_edge=96, interpret=True, fat_cap=8,
-                      fat_wcap=512, tiles_cap=48)
+                      fat_wcap=512, tiles_cap=48, pack=pack,
+                      phase_prefix=phase_prefix)
     sol = _run_fast(pts_np, rad_np, r, cell, cfg, knobs)
     assert int(sol["pairs"]["0-0"]["max_count"]) <= 96
 
