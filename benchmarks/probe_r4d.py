@@ -65,24 +65,31 @@ def loop_ms(knobs, label, cfg=cfg, cell_v=None, pts=None):
     @jax.jit
     def loop(points, st):
         def body(_, carry):
-            st, acc = carry
+            st, acc, flg = carry
             sol, st = fp.build_and_search_fast_jit(
                 points, None, jnp.float32(R), jnp.float32(cell_v), st,
                 cfg, knobs)
             acc = acc + jnp.sum(sol["pairs"]["0-0"]["counts"][::257],
                                 dtype=jnp.int32)
-            return st, acc
-        return jax.lax.fori_loop(0, ITERS, body, (st, jnp.int32(0)))
+            # a silent overflow (fat tier, pre-caps, tiles) would make the
+            # timing meaningless; accumulate the flags into the fetch
+            flg = flg + sol["cand_max"] + sol["tile_overflow"] \
+                + sol["rows_overflow"] \
+                + jnp.maximum(sol["pre_surv_max"] - knobs.pre_cap, 0) \
+                + jnp.maximum(sol["pre_surv_edge_max"] - knobs.pre_edge, 0)
+            return st, acc, flg
+        return jax.lax.fori_loop(0, ITERS, body,
+                                 (st, jnp.int32(0), jnp.int32(0)))
 
     from treensearch_tpu.ops.grid import fresh_state
     pts = pts_dev if pts is None else pts
-    st, acc = loop(pts, fresh_state())
+    st, acc, flg = loop(pts, fresh_state())
     jax.block_until_ready(acc)
     t0 = time.perf_counter()
-    st, acc = loop(pts, fresh_state())
-    acc = int(acc)
+    st, acc, flg = loop(pts, fresh_state())
+    acc, flg = int(acc), int(flg)
     dt = (time.perf_counter() - t0) / ITERS * 1e3
-    stamp(f"{label}: {dt:.1f} ms/step (acc={acc})")
+    stamp(f"{label}: {dt:.1f} ms/step (acc={acc} flags={flg})")
     return dt
 
 
