@@ -71,11 +71,11 @@ def _assert_pair_parity(sol, orc, si, sj, n_i):
 
 
 @pytest.mark.parametrize("variable,pack,phase_prefix", [
-    (False, 1, False),
     (True, 1, False),
     # packed records (the 1M headline runs pack=4, 10M runs pack=16):
     # per-phase lane extraction, DMA row-floor starts, phase0 offsets
     (False, 4, False),
+    (False, 16, False),
     # per-phase MXU prefixes with running offsets (pack > 1 only)
     (False, 4, True),
 ])
