@@ -101,6 +101,10 @@ for ss, lab in ((3, "S3 pipeline+init"), (2, "S2 +dma+masks+counts"),
 # narrow-wcap sweep at the live pre-caps (fat tier absorbs the spill)
 for wc in (160, 176, 192, 224):
     loop_ms(base._replace(wcap=wc), f"wcap={wc}")
+
+# record-build schedule A/B in the full step (see probe_r4c for the
+# isolated record-stage timings); bit-identical outputs by construction
+loop_ms(base._replace(rec_wide=True), "rec_wide=1 (wide gather records)")
 # (phase_prefix / packed_carry A/Bs live at the end of probe_r4a.py)
 
 

@@ -70,16 +70,20 @@ def _assert_pair_parity(sol, orc, si, sj, n_i):
         assert np.array_equal(got, orc.neighbors[(si, sj)][i]), (si, sj, i)
 
 
-@pytest.mark.parametrize("variable,pack,phase_prefix", [
-    (True, 1, False),
+@pytest.mark.parametrize("variable,pack,phase_prefix,unpack_win", [
+    (True, 1, False, False),
     # packed records (the 1M headline runs pack=4, 10M runs pack=16):
     # per-phase lane extraction, DMA row-floor starts, phase0 offsets
-    (False, 4, False),
-    (False, 16, False),
+    (False, 4, False, False),
+    (False, 16, False, False),
     # per-phase MXU prefixes with running offsets (pack > 1 only)
-    (False, 4, True),
+    (False, 4, True, False),
+    # unpacked-window mask path (one lanes->sublanes reshape per window)
+    (False, 16, False, True),
+    (True, 4, False, True),
 ])
-def test_pallas_kernel_oracle_parity(variable, pack, phase_prefix):
+def test_pallas_kernel_oracle_parity(variable, pack, phase_prefix,
+                                     unpack_win):
     """FULL-point exact parity (v3 cell-run tiles cover every point).
 
     Slab geometry (thin in x/y, long in z): the interpreter executes one
@@ -105,7 +109,7 @@ def test_pallas_kernel_oracle_parity(variable, pack, phase_prefix):
                       use_pallas=True,
                       pre_cap=96, pre_edge=96, interpret=True, fat_cap=8,
                       fat_wcap=512, tiles_cap=48, pack=pack,
-                      phase_prefix=phase_prefix)
+                      phase_prefix=phase_prefix, unpack_win=unpack_win)
     sol = _run_fast(pts_np, rad_np, r, cell, cfg, knobs)
     assert int(sol["pairs"]["0-0"]["max_count"]) <= 96
 
@@ -168,6 +172,28 @@ def test_pallas_fat_tier_exact():
     orc.set_all_searches(True)
     orc.run()
     _assert_pair_parity(sol, orc, 0, 0, n)
+
+
+def test_record_build_wide_narrow_identical():
+    """The wide (lane-pad before gather) and narrow (gather then pad)
+    record-build schedules must produce bit-identical q_t / rec_pad —
+    only their speed differs (benchmarks/probe_r4c.py)."""
+    from treensearch_tpu.ops.fastpath import _build_records
+
+    rng = np.random.default_rng(5)
+    n, npad = 300, 512
+    rec8 = jnp.asarray(rng.integers(-2**31, 2**31 - 1, (n + 1, 8),
+                                    dtype=np.int64).astype(np.int32))
+    opad = jnp.asarray(rng.integers(0, n + 1, (npad,), dtype=np.int64)
+                       .astype(np.int32))
+    for pack in (2, 4, 16):
+        lpp = 128 // pack
+        qa, ra = jax.jit(_build_records, static_argnums=(2, 3))(
+            rec8, opad, lpp, False)
+        qb, rb = jax.jit(_build_records, static_argnums=(2, 3))(
+            rec8, opad, lpp, True)
+        assert np.array_equal(np.asarray(qa), np.asarray(qb)), pack
+        assert np.array_equal(np.asarray(ra), np.asarray(rb)), pack
 
 
 def test_pallas_tile_overflow_flag():

@@ -122,6 +122,7 @@ class TreeNSearch:
         self._rows_cap = _kd["rows_cap"]
         self._mxu_prefix = _kd["mxu_prefix"]
         self._packed_carry = _kd["packed_carry"]
+        self._rec_wide = _kd["rec_wide"]
         self._use_carry = True     # temporal-coherence carry in run()
         self._wcap_user = False    # set_window_cap disables the auto-tune
         self._wcap_tuned = False   # one-shot wcap auto-tune from win_hist
@@ -367,7 +368,8 @@ class TreeNSearch:
                          tps=self._tps,
                          rows_cap=self._rows_cap,
                          mxu_prefix=self._mxu_prefix,
-                         packed_carry=self._packed_carry)
+                         packed_carry=self._packed_carry,
+                         rec_wide=self._rec_wide)
 
     def _execute(self, points, radii, sr, cell, w, chunk, fast):
         """Run one search with overflow-regrow; returns the clean solution."""

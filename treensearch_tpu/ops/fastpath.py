@@ -82,6 +82,10 @@ class FastKnobs(NamedTuple):
     mxu_prefix: bool = True    # MXU tril-matmul prefix counts (measured +)
     packed_carry: bool = False  # 1-roll packed compaction (measured -)
     phase_prefix: bool = False  # per-phase MXU prefixes (1/pack the MACs)
+    rec_wide: bool = False     # one wide (lane-padded) record gather
+    #                            instead of narrow gather + lane pad
+    unpack_win: bool = False   # one lanes->sublanes window reshape instead
+    #                            of per-phase lane extracts (pack > 1)
     skip_stage: int = 0        # DEV ONLY: 1 = no per-window compaction,
     #                            2 = no merge either, 3 = kernel body off,
     #                            4 = + no output init (stage attribution)
@@ -556,6 +560,44 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         n_cells_stat=n_cells_stat, win_hist=win_hist)
 
 
+def _build_records(rec8x: jnp.ndarray, opad: jnp.ndarray, lpp: int,
+                   rec_wide: bool) -> tuple:
+    """Padded record arrays from the (n+1, N_FIELDS) record columns and the
+    carried padded-slot -> original-index map.
+
+    Returns ``(q_t, rec_pad)``: queries with fields on sublanes and the
+    packed candidate rows (``pack`` points per 128-lane row; sublane-dim
+    row DMAs take exact unaligned starts, lane-dim needs 128 alignment —
+    see ops/pallas_pairs.py).  Two equivalent schedules:
+
+      - narrow (default): gather (NPAD, 8) rows, then lane-pad + reshape;
+      - wide (``rec_wide``): lane-pad the (n+1, 8) columns BEFORE the
+        gather so the gather moves (4*lpp)-byte rows and the separate
+        lane-pad relayout pass disappears; queries are a lane slice of
+        the same gathered array.
+
+    Both produce bit-identical arrays (tests/test_pallas.py); which is
+    faster is a hardware question (benchmarks/probe_r4c.py).
+    """
+    from .pallas_pairs import N_FIELDS
+    if rec_wide and lpp > N_FIELDS:
+        rec_w = jnp.pad(rec8x, ((0, 0), (0, lpp - N_FIELDS)))
+        recp = rec_w[opad]                      # (NPAD+slack, lpp)
+        recp = jax.lax.optimization_barrier(recp)
+        q_t = recp[:, :N_FIELDS].T              # fields on sublanes
+        rec_pad = recp.reshape(-1, 128)
+    else:
+        recp8 = rec8x[opad]                     # (NPAD+slack, 8)
+        # barrier: without it XLA fuses the lane-pad + reshape + transpose
+        # relayouts below INTO the row gather, and the whole record build
+        # runs at gather-engine speed (~13 GB/s) instead of copy bandwidth
+        recp8 = jax.lax.optimization_barrier(recp8)
+        q_t = recp8.T                           # queries: fields on sublanes
+        rec_pad = jnp.pad(
+            recp8, ((0, 0), (0, lpp - N_FIELDS))).reshape(-1, 128)
+    return q_t, rec_pad
+
+
 def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                    search_radius: jnp.ndarray, state: GridState,
                    carry: FastCarry, cfg: SearchConfig,
@@ -654,17 +696,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     rec8x = jnp.concatenate([rec8, sent[None]])
     # padded slot -> original point index is carried pre-composed (opad),
     # so the record build is ONE row gather
-    recp8 = rec8x[carry.opad]                   # (NPAD+slack, 8)
-    # barrier: without it XLA fuses the lane-pad + reshape + transpose
-    # relayouts below INTO the row gather, and the whole record build
-    # runs at gather-engine speed (~13 GB/s) instead of copy bandwidth
-    recp8 = jax.lax.optimization_barrier(recp8)
-    q_t = recp8.T                               # queries: fields on sublanes
-    # candidates: `pack` points per 128-lane row (sublane-dim row DMAs
-    # take exact unaligned starts; lane-dim needs 128 alignment — see
-    # ops/pallas_pairs.py docstring)
-    rec_pad = jnp.pad(
-        recp8, ((0, 0), (0, lpp - N_FIELDS))).reshape(-1, 128)
+    q_t, rec_pad = _build_records(rec8x, carry.opad, lpp, knobs.rec_wide)
 
     params = jnp.zeros((8, DESC_W), jnp.float32).at[0, 0].set(r2_fixed)
 
@@ -685,7 +717,8 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                  val_bound=(1 << 30) if raw else max(cfg.set_sizes),
                  mxu_prefix=knobs.mxu_prefix,
                  packed_carry=knobs.packed_carry,
-                 phase_prefix=knobs.phase_prefix)
+                 phase_prefix=knobs.phase_prefix,
+                 unpack_win=knobs.unpack_win)
     n_blocks_dbg = len(cand_sets)
     if knobs.skip_stage >= 5:
         # DEV: bypass the pallas calls entirely (XLA-side floor); >= 6

@@ -203,7 +203,8 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     val_bound: int = 1 << 30, tiles_per_step: int = 1,
                     mxu_prefix: bool = DEFAULT_MXU_PREFIX,
                     packed_carry: bool = DEFAULT_PACKED_CARRY,
-                    phase_prefix: bool = False):
+                    phase_prefix: bool = False,
+                    unpack_win: bool = False):
     """Build a pallas_call for one tier.
 
     Narrow tier (``fat_tier=False``): grid over all tiles; tiles whose
@@ -307,6 +308,59 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
             # broadcast into the mask (1 AND/elem instead of ~5 ops/elem)
             sub_c = jax.lax.broadcasted_iota(jnp.int32, (wrows, 1), 0)
 
+            def _emit(w, masks, all_ws, mask_geo, wo_b):
+                """Per-block counts, regrow signals and staged compaction
+                for one window, given its geometry mask(s)."""
+                surv_row = 1 if w == center_win else 2
+                for b in range(n_blocks):
+                    if multi_set:
+                        pms = [mf & (wf == cand_sets[b])
+                               for mf, wf in zip(masks, all_ws)]
+                        pm = pms[0] if len(pms) == 1 else \
+                            jnp.concatenate(pms, axis=0)
+                    else:
+                        pms = masks
+                        pm = mask_geo
+                    if mxu_prefix and phase_prefix and len(pms) > 1:
+                        # per-PHASE prefixes + running offsets: the
+                        # tril matmul is O(m^2 q), so pack phase
+                        # pieces cost 1/pack the MACs of one big one
+                        run, parts = None, []
+                        for pmf in pms:
+                            pf = _mask_prefix_mxu(pmf)
+                            if run is not None:
+                                pf = pf + run
+                            parts.append(pf)
+                            run = pf[pmf.shape[0] - 1:, :]
+                        prefix = jnp.concatenate(parts, axis=0)
+                        wsum = run
+                    elif mxu_prefix:
+                        prefix = _mask_prefix_mxu(pm)
+                        wsum = prefix[mask_geo.shape[0] - 1:, :]
+                    else:
+                        prefix = None
+                        wsum = jnp.sum(pm.astype(jnp.int32), axis=0,
+                                       keepdims=True)
+                    cref = out_refs[b // 8]
+                    cb = co + b % 8
+                    cref[cb:cb + 1, :] = cref[cb:cb + 1, :] + wsum
+                    # shared rows n_blocks/n_blocks+1: max center/
+                    # edge window survivors (pre-cap regrow signals)
+                    sr = n_blocks + surv_row - 1
+                    sref = out_refs[sr // 8]
+                    sb = co + sr % 8
+                    sref[sb:sb + 1, :] = jnp.maximum(
+                        sref[sb:sb + 1, :], wsum)
+                    wsc[b * nw8 + w:b * nw8 + w + 1, :] = wsum
+                    if skip_stage < 1:  # dev knob: stage attribution
+                        outc[b * m2 + pc_off[w]:
+                             b * m2 + pc_off[w + 1], :] = \
+                            _compact_sub(pm, wo_b - cand_offsets[b],
+                                         pre_caps[w], p=prefix,
+                                         val_bound=val_bound,
+                                         mxu_prefix=mxu_prefix,
+                                         packed_carry=packed_carry)
+
             for w in range(n_win):
                 # wait per window right before its use: the DMA engine
                 # streams windows w+1.. while the VPU processes window w
@@ -338,6 +392,41 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     masks, all_vals = [], []
                     if multi_set:
                         all_ws = []
+                    if unpack_win and pack > 1:
+                        # ONE lanes->sublanes reshape per window puts every
+                        # slot on its own sublane row (fields at lanes
+                        # 0..7), replacing `pack` per-phase lane extracts
+                        # with a single set — lets pack=16 (minimum DMA
+                        # bytes) pay one relayout instead of 16 extract
+                        # rounds per field.  Whether the relayout is
+                        # cheaper than the extracts is a hardware question
+                        # (benchmarks/probe_r4e.py).
+                        resh = win[bank, w, :, :].reshape(wcap, lpp)
+                        wx = _f32(resh[:, F_X:F_X + 1])
+                        wy = _f32(resh[:, F_Y:F_Y + 1])
+                        wz = _f32(resh[:, F_Z:F_Z + 1])
+                        wo = resh[:, F_ORIG:F_ORIG + 1]
+                        ddx = wx - qx
+                        ddy = wy - qy
+                        ddz = wz - qz
+                        d2 = (ddx * ddx + ddy * ddy) + ddz * ddz
+                        if variable:
+                            crit = d2 <= my_r2
+                            if symmetric:
+                                wr = _f32(resh[:, F_R:F_R + 1])
+                                crit = crit | (d2 <= wr * wr)
+                        else:
+                            crit = d2 <= r2_fixed
+                        sub_f = jax.lax.broadcasted_iota(
+                            jnp.int32, (wcap, 1), 0)
+                        off = sub_f - phase0
+                        pm = crit & ((off >= 0) & (off < ln))
+                        if w == center_win:
+                            pm = pm & (wo != q_orig)
+                        wsb = [resh[:, F_SET:F_SET + 1] * ones_t] \
+                            if multi_set else None
+                        _emit(w, [pm], wsb, pm, wo * ones_t)
+                        return
                     for f in range(pack):
                         o = f * lpp
                         wx = _f32(win[bank, w, :, o + F_X:o + F_X + 1])
@@ -380,61 +469,11 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                                 * ones_t)
                     if pack == 1:
                         mask_geo, wo_b = masks[0], all_vals[0]
-                        ws = all_ws[0] if multi_set else None
                     else:
                         mask_geo = jnp.concatenate(masks, axis=0)
                         wo_b = jnp.concatenate(all_vals, axis=0)
-                        ws = jnp.concatenate(all_ws, axis=0) \
-                            if multi_set else None
-                    surv_row = 1 if w == center_win else 2
-                    for b in range(n_blocks):
-                        if multi_set:
-                            pms = [mf & (wf == cand_sets[b])
-                                   for mf, wf in zip(masks, all_ws)]
-                            pm = pms[0] if pack == 1 else \
-                                jnp.concatenate(pms, axis=0)
-                        else:
-                            pms = masks
-                            pm = mask_geo
-                        if mxu_prefix and phase_prefix and pack > 1:
-                            # per-PHASE prefixes + running offsets: the
-                            # tril matmul is O(m^2 q), so pack phase
-                            # pieces cost 1/pack the MACs of one big one
-                            run, parts = None, []
-                            for pmf in pms:
-                                pf = _mask_prefix_mxu(pmf)
-                                if run is not None:
-                                    pf = pf + run
-                                parts.append(pf)
-                                run = pf[pmf.shape[0] - 1:, :]
-                            prefix = jnp.concatenate(parts, axis=0)
-                            wsum = run
-                        elif mxu_prefix:
-                            prefix = _mask_prefix_mxu(pm)
-                            wsum = prefix[mask_geo.shape[0] - 1:, :]
-                        else:
-                            prefix = None
-                            wsum = jnp.sum(pm.astype(jnp.int32), axis=0,
-                                           keepdims=True)
-                        cref = out_refs[b // 8]
-                        cb = co + b % 8
-                        cref[cb:cb + 1, :] = cref[cb:cb + 1, :] + wsum
-                        # shared rows n_blocks/n_blocks+1: max center/
-                        # edge window survivors (pre-cap regrow signals)
-                        sr = n_blocks + surv_row - 1
-                        sref = out_refs[sr // 8]
-                        sb = co + sr % 8
-                        sref[sb:sb + 1, :] = jnp.maximum(
-                            sref[sb:sb + 1, :], wsum)
-                        wsc[b * nw8 + w:b * nw8 + w + 1, :] = wsum
-                        if skip_stage < 1:  # dev knob: stage attribution
-                            outc[b * m2 + pc_off[w]:
-                                 b * m2 + pc_off[w + 1], :] = \
-                                _compact_sub(pm, wo_b - cand_offsets[b],
-                                             pre_caps[w], p=prefix,
-                                             val_bound=val_bound,
-                                             mxu_prefix=mxu_prefix,
-                                             packed_carry=packed_carry)
+                    _emit(w, masks, all_ws if multi_set else None,
+                          mask_geo, wo_b)
 
             if skip_stage < 2:
                 for b in range(n_blocks):
