@@ -81,7 +81,8 @@ class FastKnobs(NamedTuple):
     rows_cap: int = 0          # grid-row array slots (0 = auto)
     mxu_prefix: bool = True    # MXU tril-matmul prefix counts (measured +)
     packed_carry: bool = False  # 1-roll packed compaction (measured -)
-    phase_prefix: bool = False  # per-phase MXU prefixes (1/pack the MACs)
+    phase_prefix: bool = True   # per-phase MXU prefixes (1/pack the MACs;
+    #                            measured -12 ms/step at 1M, probe_r4a)
     rec_wide: bool = False     # one wide (lane-padded) record gather
     #                            instead of narrow gather + lane pad
     unpack_win: bool = False   # one lanes->sublanes window reshape instead
