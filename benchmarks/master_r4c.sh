@@ -4,7 +4,11 @@
 # carry wart no longer reproduces -- wart_tpu.out 2026-08-18).
 cd /root/repo/benchmarks
 
-while kill -0 "$(cat /tmp/master_r4b.pid 2>/dev/null)" 2>/dev/null; do
+# Wait on r4b's completion sentinel, not its pid: a stale pid file whose
+# PID got reused would block forever, and a foreign-owner PID would fail
+# kill -0 and start r4c concurrently on the same TPU (ADVICE r3).
+while [ -f /tmp/master_r4b.pid ] \
+    && ! grep -q "ALL DONE" master_r4b.log 2>/dev/null; do
   sleep 60
 done
 

@@ -1,5 +1,10 @@
 """Exact-parity validation of the full TPU engine at 1M points against the
-native C++ grid oracle (the numpy O(n^2) oracle is infeasible here)."""
+native C++ grid oracle (the numpy O(n^2) oracle is infeasible here).
+
+Runs the EXACT bench.py headline configuration by default (zsorted
+points, cell = BENCH_CELLF * r with CELLF = 1.0, auto-tuned wcap/pack,
+same env overrides), so the committed artifact validates the same
+program the headline number is reported from (VERDICT r3 item 6)."""
 import os
 import sys
 import time
@@ -20,12 +25,24 @@ R = float(os.environ.get("R", 0.02))
 rng = np.random.default_rng(0)
 pts = rng.uniform(0, 1, (N, 3)).astype(np.float32)
 
-stamp("engine run (TPU)")
+stamp("engine run (TPU), bench.py headline configuration")
 eng = TreeNSearch()
 eng.add_point_set(pts)
 eng.set_search_radius(R)
 eng.set_all_searches(True)
-eng.run()
+eng.set_cell_size(float(os.environ.get("BENCH_CELLF", 1.0)) * R)
+if "BENCH_WCAP" in os.environ:
+    eng.set_window_cap(int(os.environ["BENCH_WCAP"]))
+if "BENCH_PACK" in os.environ:
+    eng.set_record_pack(int(os.environ["BENCH_PACK"]))
+eng.prepare_zsort()
+pts = np.asarray(eng.apply_zsort(0, pts))
+eng.resize_point_set(0, pts)
+eng.run()   # settles caps + one-shot wcap/pack auto-tune (as bench.py)
+eng.run()   # the steady-state program the benchmark times
+stamp(f"knobs: pack={eng._pack} wcap={eng._wcap} dense={eng._dense_cap} "
+      f"pre=({eng._pre_cap},{eng._pre_edge}) lane_batch="
+      f"{eng._knobs(True).lane_batch}")
 ec, en = eng.get_neighbors(0, 0)
 ec, en = np.asarray(ec), np.asarray(en)
 stamp(f"engine done; total pairs {ec.sum()}  stats {eng._last_stats}")

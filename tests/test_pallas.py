@@ -70,20 +70,26 @@ def _assert_pair_parity(sol, orc, si, sj, n_i):
         assert np.array_equal(got, orc.neighbors[(si, sj)][i]), (si, sj, i)
 
 
-@pytest.mark.parametrize("variable,pack,phase_prefix,unpack_win", [
+@pytest.mark.parametrize("variable,pack,phase_prefix,lane_batch", [
     (True, 1, False, False),
     # packed records (the 1M headline runs pack=4, 10M runs pack=16):
     # per-phase lane extraction, DMA row-floor starts, phase0 offsets
     (False, 4, False, False),
     (False, 16, False, False),
-    # per-phase MXU prefixes with running offsets (pack > 1 only)
+    # per-phase MXU prefixes with running offsets (pack > 1 only) —
+    # covered at both packs and in the variable+symmetric configuration
     (False, 4, True, False),
-    # unpacked-window mask path (one lanes->sublanes reshape per window)
-    (False, 16, False, True),
-    (True, 4, False, True),
+    (False, 16, True, False),
+    (True, 4, True, False),
+    # the lane-batched pipeline (production default at pack >= 8): one
+    # contiguous window buffer, windows-on-lanes re-blocked masks, one
+    # prefix matmul / compaction network per phase
+    (False, 16, True, True),
+    (True, 4, True, True),
+    (True, 1, False, True),
 ])
 def test_pallas_kernel_oracle_parity(variable, pack, phase_prefix,
-                                     unpack_win):
+                                     lane_batch):
     """FULL-point exact parity (v3 cell-run tiles cover every point).
 
     Slab geometry (thin in x/y, long in z): the interpreter executes one
@@ -109,7 +115,7 @@ def test_pallas_kernel_oracle_parity(variable, pack, phase_prefix,
                       use_pallas=True,
                       pre_cap=96, pre_edge=96, interpret=True, fat_cap=8,
                       fat_wcap=512, tiles_cap=48, pack=pack,
-                      phase_prefix=phase_prefix, unpack_win=unpack_win)
+                      phase_prefix=phase_prefix, lane_batch=lane_batch)
     sol = _run_fast(pts_np, rad_np, r, cell, cfg, knobs)
     assert int(sol["pairs"]["0-0"]["max_count"]) <= 96
 
@@ -121,7 +127,17 @@ def test_pallas_kernel_oracle_parity(variable, pack, phase_prefix,
     _assert_pair_parity(sol, orc, 0, 0, n)
 
 
-def test_pallas_multi_pair_asymmetric_matrix():
+@pytest.mark.parametrize("pack,phase_prefix,lane_batch", [
+    (1, False, False),
+    # multi-set candidate-set blocks through the per-phase MXU prefix
+    # path: per-block phase masks with running offsets must stay exact
+    (4, True, False),
+    # multi-set through the lane-batched pipeline (production default at
+    # pack >= 8): per-block windows-on-lanes masks + shared V reuse
+    (4, True, True),
+])
+def test_pallas_multi_pair_asymmetric_matrix(pack, phase_prefix,
+                                             lane_batch):
     """Two sets, asymmetric 3-pair active matrix (1->1 off) through the
     kernel's per-pair emission (reference tests.cpp:114-145)."""
     rng = np.random.default_rng(7)
@@ -134,7 +150,8 @@ def test_pallas_multi_pair_asymmetric_matrix():
     cfg = SearchConfig((n0, n1), pairs, False, False, 1, 1024, 512, 96)
     knobs = FastKnobs(wcap=384, dense_cap=1 << 14, use_pallas=True,
                       pre_cap=96, pre_edge=48, interpret=True, fat_cap=8,
-                      fat_wcap=512, tiles_cap=48)
+                      fat_wcap=512, tiles_cap=48, pack=pack,
+                      phase_prefix=phase_prefix, lane_batch=lane_batch)
     pts = np.concatenate([p0, p1])
     sol = _run_fast(pts, None, r, 1.5 * r, cfg, knobs)
 

@@ -54,6 +54,49 @@ def test_apply_zsort_strided_and_inplace():
     assert np.array_equal(dens, np.arange(n)[order].astype(np.float64))
 
 
+def test_apply_zsort_wide_dtypes_bit_exact():
+    """Reference ``apply_zsort<T>`` is exact for ANY element type
+    (``TreeNSearch.h:443-481``).  Values are chosen so an f32/i32
+    round-trip would corrupt them: int64 >= 2^31 and f64 needing more
+    than 24 mantissa bits."""
+    n = 400
+    pts = _cloud(n, 4)
+    eng = TreeNSearch()
+    eng.add_point_set(pts)
+    eng.set_search_radius(0.1)
+    eng.prepare_zsort()
+    order = eng.get_zsort_order(0)
+
+    # int64 with high bits set (an i32 cast destroys these)
+    big_i64 = (np.arange(n, dtype=np.int64) + 1) * (1 << 33) + 7
+    ref_i64 = big_i64[order].copy()
+    out = eng.apply_zsort(0, big_i64)
+    assert out is big_i64 and out.dtype == np.int64
+    assert np.array_equal(big_i64, ref_i64)
+
+    # float64 needing > 24 mantissa bits (an f32 round-trip alters these)
+    f64 = np.arange(n, dtype=np.float64) + 1.0 + 2.0 ** -40
+    assert not np.array_equal(f64.astype(np.float32).astype(np.float64),
+                              f64)
+    ref_f64 = f64[order].copy()
+    eng.apply_zsort(0, f64)
+    assert f64.dtype == np.float64 and np.array_equal(f64, ref_f64)
+
+    # strided flat f64 (reference stride semantics)
+    flat = (np.arange(3 * n, dtype=np.float64) + 2.0 ** -40).ravel()
+    ref_flat = flat.reshape(n, 3)[order].ravel().copy()
+    eng.apply_zsort(0, flat, stride=3)
+    assert np.array_equal(flat, ref_flat)
+
+    # uint64 through the batch path, mixed with a device-path f32 array
+    u64 = (np.arange(n, dtype=np.uint64) + 1) * np.uint64(1 << 40)
+    f32 = np.arange(n, dtype=np.float32)
+    ref_u64, ref_f32 = u64[order].copy(), f32[order].copy()
+    eng.apply_zsort_batch(0, [u64, f32])
+    assert np.array_equal(u64, ref_u64) and u64.dtype == np.uint64
+    assert np.array_equal(f32, ref_f32)
+
+
 def test_zsort_then_run_parity():
     # the reference's typical flow: prepare, reorder user arrays, rerun
     pts = _cloud(1500, 2)

@@ -88,9 +88,18 @@ def _as_points(points, n_points: Optional[int]):
 
 
 class TreeNSearch:
-    """TPU-native neighborhood search over multiple 3D point sets."""
+    """TPU-native neighborhood search over multiple 3D point sets.
 
-    def __init__(self):
+    Multi-chip: pass ``mesh=`` (a ``jax.sharding.Mesh``) or call
+    ``distribute(mesh)`` and every subsequent ``run()`` executes the
+    domain-decomposed engines of ``parallel/sharded.py`` (i-slab
+    ownership, fixed-cap ``all_to_all`` routing, ``ppermute`` halos) with
+    the same automated overflow settling as single-chip.  The API surface
+    is unchanged — the reference exposes everything through one class
+    (``TreeNSearch.h:28-427``) and so does this engine.
+    """
+
+    def __init__(self, mesh=None, mesh_axis: str = "d"):
         self._sets: List[_PointSet] = []
         self._active: np.ndarray = np.zeros((0, 0), dtype=bool)
         self._variable: Optional[bool] = None  # None until first set added
@@ -122,7 +131,10 @@ class TreeNSearch:
         self._rows_cap = _kd["rows_cap"]
         self._mxu_prefix = _kd["mxu_prefix"]
         self._packed_carry = _kd["packed_carry"]
+        self._phase_prefix = _kd["phase_prefix"]
         self._rec_wide = _kd["rec_wide"]
+        self._lane_batch = _kd["lane_batch"]
+        self._lane_batch_user = False  # set_lane_batch disables the auto
         self._use_carry = True     # temporal-coherence carry in run()
         self._wcap_user = False    # set_window_cap disables the auto-tune
         self._wcap_tuned = False   # one-shot wcap auto-tune from win_hist
@@ -138,6 +150,34 @@ class TreeNSearch:
         self._n_threads = len(jax.devices())
         self._recursion_cap = 1000
         self._n_points_for_parallel_octree = 200000
+        # multi-chip (parallel/sharded.py): mesh + routing-bucket slack
+        # (settled by the overflow loop like every other cap)
+        self._mesh = None
+        self._mesh_axis = mesh_axis
+        self._route_slack = 2.5
+        if mesh is not None:
+            self.distribute(mesh, mesh_axis)
+
+    # ------------------------------------------------------------ multi-chip
+    def distribute(self, mesh, axis: str = "d") -> None:
+        """Execute every search over a ``jax.sharding.Mesh`` (domain
+        decomposition with halo exchange over ICI; parallel/sharded.py).
+        ``run()`` then uses the sharded fast engine when the Pallas gate
+        admits the config, else the sharded reference pipeline, and
+        settles route/tile/window/neighbor caps through the same regrow
+        loop as single-chip.  Pass ``mesh=None`` to return to
+        single-device execution."""
+        if mesh is not None and axis not in mesh.axis_names:
+            raise ValueError(f"mesh has no axis {axis!r}: {mesh.axis_names}")
+        self._mesh = mesh
+        self._mesh_axis = axis
+        # the carry is a single-device structure
+        self._fast_carry = None
+        self._carry_key = None
+        self._solution = None
+
+    def get_mesh(self):
+        return self._mesh
 
     # ------------------------------------------------------------------ sets
     def add_point_set(self, points, radii=None, n_points: int = None) -> int:
@@ -278,8 +318,9 @@ class TreeNSearch:
     def set_record_pack(self, pack: int) -> None:
         """Candidate-record packing: points per 128-lane record row.
         Higher packs divide the kernel's window DMA traffic and record
-        memory (measured best: 4 at ~1M points, 16 at 10M where memory
-        dominates); must divide 16.  Auto-chosen from N unless set."""
+        memory (measured best: 16 with the lane-batched pipeline at 1M,
+        benchmarks/probe_r5b.out); must divide 16.  Auto-chosen from N
+        unless set."""
         if pack not in (1, 2, 4, 8, 16):
             raise ValueError("pack must be one of 1, 2, 4, 8, 16")
         self._pack = int(pack)
@@ -308,6 +349,15 @@ class TreeNSearch:
         if tps not in (1, 2, 4, 8):
             raise ValueError("tiles_per_step must be 1, 2, 4 or 8")
         self._tps = int(tps)
+
+    def set_lane_batch(self, enabled: bool) -> None:
+        """Toggle the lane-batched kernel pipeline (one contiguous window
+        buffer, one prefix matmul and one compaction network per phase —
+        amortizes the measured per-window fixed costs ~9x; 130 -> 115
+        ms/step at 1M with pack=16, benchmarks/probe_r5b.out).  Auto-chosen
+        with the record pack unless set explicitly."""
+        self._lane_batch = bool(enabled)
+        self._lane_batch_user = True
 
     # ---------------------------------------------------------------- run
     def run(self) -> None:
@@ -343,6 +393,8 @@ class TreeNSearch:
             "stencil_w": w,
             "path": "fast" if (fast and "dense_overflow" in sol) else "reference",
         }
+        if "win_hist" in sol:  # Pallas path: window-length histogram
+            self._last_stats["win_hist"] = np.asarray(sol["win_hist"])
 
     def _default_dense_cap(self) -> int:
         # SPH-like data occupies ~N/20 cells at the default cell size;
@@ -369,18 +421,25 @@ class TreeNSearch:
                          rows_cap=self._rows_cap,
                          mxu_prefix=self._mxu_prefix,
                          packed_carry=self._packed_carry,
-                         rec_wide=self._rec_wide)
+                         phase_prefix=self._phase_prefix,
+                         rec_wide=self._rec_wide,
+                         lane_batch=self._lane_batch)
 
     def _execute(self, points, radii, sr, cell, w, chunk, fast):
         """Run one search with overflow-regrow; returns the clean solution."""
         use_fast = fast
         use_pallas_now = self._use_pallas
         if not self._pack_user:
-            # measured on v5e: pack=4 best at ~1M (DMA/4 at modest phase
-            # cost); pack=16 (32 B/point records) where memory dominates
+            # measured on v5e: lane_batch + pack=16 best at 1M (114.8 vs
+            # 130.0 ms/step, benchmarks/probe_r5b.out); pack=16 records
+            # (32 B/point) also where memory dominates (10M)
             n_tot = self.get_total_n_points()
-            self._pack = 16 if n_tot > (1 << 22) else \
-                (4 if n_tot >= 200_000 else 1)
+            self._pack = 16 if n_tot >= 200_000 else 1
+        if not self._lane_batch_user:
+            # the lane-batched pipeline amortizes per-window fixed costs
+            # and wins at pack >= 8 (regresses at pack <= 4: fewer rows
+            # per window starve the wide operands; probe_r5b B1 vs B2)
+            self._lane_batch = self._pack >= 8
         if self._dense_cap is None:
             self._dense_cap = self._default_dense_cap()
         if self._tiles_cap is None:
@@ -388,7 +447,25 @@ class TreeNSearch:
                 max(self.get_total_n_points(), 1))
         for _ in range(_MAX_GROW_ROUNDS):
             cfg = self._make_cfg(chunk, w)
-            if use_fast:
+            if self._mesh is not None:
+                # multi-chip: domain-decomposed engines with the same
+                # settling loop (route_slack joins the settled caps)
+                from .parallel.sharded import (
+                    build_and_search_sharded_fast_jit,
+                    build_and_search_sharded_jit)
+                knobs = self._knobs(use_pallas_now)
+                if use_fast and _pallas_applicable(cfg, knobs) \
+                        and cfg.n_points > 0:
+                    sol, state = build_and_search_sharded_fast_jit(
+                        points, radii, jnp.float32(sr), jnp.float32(cell),
+                        self._grid_state, cfg, self._mesh, knobs,
+                        self._mesh_axis, self._route_slack)
+                else:
+                    sol, state = build_and_search_sharded_jit(
+                        points, radii, jnp.float32(sr), jnp.float32(cell),
+                        self._grid_state, cfg, self._mesh,
+                        self._mesh_axis, self._route_slack)
+            elif use_fast:
                 knobs = self._knobs(use_pallas_now)
                 if self._use_carry and _pallas_applicable(cfg, knobs) \
                         and cfg.n_points > 0:
@@ -429,7 +506,15 @@ class TreeNSearch:
                     f"the world box exceeds {MAX_CELLS_PER_DIM} cells per "
                     "axis; increase the cell size (reference aborts here, "
                     "TreeNSearch.cpp:510-515)")
-            if use_fast and int(sol["dense_overflow"]) != 0:
+            if int(sol.get("route_overflow", 0)) != 0:
+                # sharded routing-bucket cap exceeded (a slab owns more
+                # than route_slack x the uniform share); double the slack
+                # and re-run — the same settle-and-rerun contract as every
+                # other cap (VERDICT r3 item 3)
+                self._route_slack *= 2.0
+                sol = None
+                continue
+            if use_fast and int(sol.get("dense_overflow", 0)) != 0:
                 if self._dense_cap < _MAX_DENSE_CAP:
                     self._dense_cap = min(self._dense_cap * 8, _MAX_DENSE_CAP)
                 else:
@@ -450,7 +535,7 @@ class TreeNSearch:
                 self._tiles_cap = int(self._tiles_cap * 1.5) + 64
                 sol = None  # release before re-running (10M solutions are GBs)
                 continue
-            if use_fast and int(sol["straddle"]) != 0:
+            if use_fast and int(sol.get("straddle", 0)) != 0:
                 # a tile spans >= 3 grid rows. The pallas kernel's tile is
                 # fixed at 128, so straddle there means the dataset's rows
                 # are too short for it -> try the XLA tile loop at its
@@ -495,11 +580,16 @@ class TreeNSearch:
                 if pre_surv_e > self._pre_edge:
                     self._pre_edge = round_up(int(pre_surv_e * 1.25) + 1, 8)
                     grew = True
-            cand_limit = self._wcap if use_fast else self._cand_cap
+            # the sharded reference pipeline can serve a use_fast request
+            # (when the Pallas gate rejects the config); its windows are
+            # bounded by cand_cap, not wcap — distinguish by the fast
+            # path's signature flag
+            fast_sol = use_fast and "dense_overflow" in sol
+            cand_limit = self._wcap if fast_sol else self._cand_cap
             if cand_max > cand_limit and not (
                     use_fast and int(sol.get("pallas_used", 0)) != 0):
                 grown = round_up(int(cand_max * 1.25) + 1, 64)
-                if use_fast:
+                if fast_sol:
                     self._wcap = grown
                 else:
                     self._cand_cap = grown
@@ -541,10 +631,12 @@ class TreeNSearch:
     def _post_run_tune(self, sol: dict, state, w: int) -> None:
         """One-shot knob tuning from the first successful Pallas run.
 
-        - ``wcap`` auto-tune: pick the smallest window cap covering ~99.8%
-          of nonzero windows (the rest route to the fat tier), from the
-          device-computed window-length histogram.  Disabled by
-          ``set_window_cap`` (explicit user choice).
+        - ``wcap`` auto-tune: pick the smallest window cap covering the
+          p95 of nonzero window lengths (measured best at 1M,
+          benchmarks/probe_r3e; the remaining ~5% of windows route to
+          the auto-growing fat tier), from the device-computed
+          window-length histogram.  Disabled by ``set_window_cap``
+          (explicit user choice).
         - dense-table snug: shrink the dense cell table to the measured
           domain (the default is sized from N, which over-allocates by the
           occupancy factor); the table histogram/scan cost per step is
@@ -562,8 +654,18 @@ class TreeNSearch:
                 # auto-growing fat tier
                 cum = np.cumsum(hist)
                 idx = int(np.searchsorted(cum, 0.95 * total))
-                tuned = max(64, round_up((idx + 1) * 32, 8))
-                if tuned < self._wcap * 0.88 or tuned > self._wcap:
+                # align so each window is a whole number of 8-sublane
+                # record rows at the chosen pack (wrows = wcap/pack; the
+                # measured-best 1M config is exactly this: pack=16 ->
+                # wcap 256, benchmarks/probe_r5b/c)
+                align = max(8, 8 * self._pack)
+                tuned = max(64, round_up((idx + 1) * 32, align))
+                # compare against the EFFECTIVE cap (_pallas_statics
+                # rounds wcap up to whole record rows): at pack=16 the
+                # 288 default runs as 384, and tuning must judge 384,
+                # not 288 (the gap cost 146 vs 115 ms/step at 1M)
+                eff = round_up(self._wcap, align)
+                if tuned < eff * 0.88 or tuned > eff:
                     self._wcap = tuned
             self._wcap_tuned = True
         if not self._dense_snug:
@@ -622,10 +724,25 @@ class TreeNSearch:
         # all per-set orders in ONE device program/dispatch
         self._zsort_maps = zsort_orders(pts_dev, box_min, box_max)
 
+    @staticmethod
+    def _needs_host_gather(arr) -> bool:
+        """True for numpy arrays whose dtype the device path would narrow
+        (f64 -> f32, i64/u64 -> 32-bit) under jax's default x64-off config.
+        The reference ``apply_zsort<T>`` is exact for ANY element type
+        (``TreeNSearch.h:443-481``); wide dtypes take an exact host-side
+        gather instead of the device dispatch."""
+        if not isinstance(arr, np.ndarray) or jax.config.jax_enable_x64:
+            return False
+        dt = arr.dtype
+        return (dt.kind in "iufc") and dt.itemsize > 4
+
     def apply_zsort(self, set_i: int, data, stride: int = 1):
         """Reorder a user array by the prepared Z-order.  numpy arrays are
         updated in place (reference pointer semantics); the reordered array
-        is always returned."""
+        is always returned.  Bit-exact for every input dtype: f32/i32
+        ride the fused device gather; wide numpy dtypes (f64, i64, ...)
+        are gathered on the host so no value is narrowed (reference
+        ``apply_zsort<T>`` exactness, ``TreeNSearch.h:443-481``)."""
         self._require_set(set_i)
         if self._zsort_maps is None:
             raise RuntimeError(
@@ -643,6 +760,11 @@ class TreeNSearch:
                 f"array of {size} elements cannot be reordered for set "
                 f"{set_i} with {n} points (need n*stride elements)")
         flat_in = hasattr(arr, "ndim") and arr.ndim == 1 and stride > 1
+        if self._needs_host_gather(arr):
+            rows = arr.reshape(n, stride) if flat_in else arr.reshape(n, -1)
+            out = np.take(rows, np.asarray(order), axis=0)
+            np.copyto(data, out.reshape(data.shape))
+            return data
         rows = jnp.asarray(arr).reshape(n, -1) if not flat_in \
             else jnp.asarray(arr).reshape(n, stride)
         out = apply_order(rows, order)
@@ -667,21 +789,41 @@ class TreeNSearch:
         if n == 0 or not arrays:
             return list(arrays)
         strides = list(strides) if strides is not None else [1] * len(arrays)
-        rows_list = []
-        for arr, stride in zip(arrays, strides):
+        rows_list, dev_idx = [], []
+        host_out = {}
+        order_np = None
+        for k, (arr, stride) in enumerate(zip(arrays, strides)):
             size = int(np.prod(np.shape(arr)))
             if size % n != 0:
                 raise ValueError(
                     f"array of {size} elements cannot be reordered for "
                     f"set {set_i} with {n} points")
+            if self._needs_host_gather(arr):
+                # exact host gather for wide dtypes (f64/i64/...): the
+                # device path would narrow them (see apply_zsort)
+                if order_np is None:
+                    order_np = np.asarray(order)
+                flat_in = arr.ndim == 1 and stride > 1
+                rows = arr.reshape(n, stride) if flat_in \
+                    else arr.reshape(n, -1)
+                host_out[k] = np.take(rows, order_np, axis=0)
+                continue
             a = jnp.asarray(arr)
             flat_in = a.ndim == 1 and stride > 1
             rows_list.append(a.reshape(n, stride) if flat_in
                              else a.reshape(n, -1))
-        outs = apply_order_batch(rows_list, order)
+            dev_idx.append(k)
+        outs_dev = apply_order_batch(rows_list, order) if rows_list else []
+        outs = [None] * len(arrays)
+        for k, out in zip(dev_idx, outs_dev):
+            outs[k] = out
         results = []
-        for arr, out in zip(arrays, outs):
-            out = out.reshape(np.shape(arr))
+        for k, arr in enumerate(arrays):
+            if k in host_out:
+                np.copyto(arr, host_out[k].reshape(arr.shape))
+                results.append(arr)
+                continue
+            out = outs[k].reshape(np.shape(arr))
             if isinstance(arr, np.ndarray):
                 np.copyto(arr, np.asarray(out).astype(arr.dtype,
                                                       copy=False))
@@ -748,6 +890,37 @@ class TreeNSearch:
                 npts = self.get_total_n_points()
                 print(f"  occupied cells: {nc}  avg points/cell: "
                       f"{npts / max(nc, 1):.2f}")
+            # per-cell occupancy min/max/avg (reference cell statistics,
+            # TreeNSearch.cpp:2718-2873), recomputed on demand so the hot
+            # loop never pays for diagnostics
+            cell = self._last_stats.get("cell_size")
+            if cell and self.get_total_n_points() > 0:
+                p_all = np.concatenate(
+                    [np.asarray(s.points, np.float32).reshape(-1, 3)
+                     for s in self._sets if s.n > 0])
+                k = np.asarray(gs.n_cells).astype(np.int64)
+                gmin = np.asarray(gs.grid_min, np.float32)
+                ijk = np.clip(np.floor(
+                    (p_all - gmin) * np.float32(1.0 / cell)).astype(np.int64),
+                    0, k - 1)
+                lin = (ijk[:, 0] * k[1] + ijk[:, 1]) * k[2] + ijk[:, 2]
+                occ = np.unique(lin, return_counts=True)[1]
+                print(f"  points per occupied cell min/avg/max = "
+                      f"{occ.min()}/{occ.mean():.2f}/{occ.max()}")
+        # candidate-window statistics (the role of the reference's leaf
+        # size / max ghost span lines): from the last run's device
+        # histogram (bins of 32 slots)
+        wh = self._last_stats.get("win_hist")
+        if wh is not None and int(wh.sum()) > 0:
+            cum = np.cumsum(wh)
+            tot = int(cum[-1])
+            p50 = (int(np.searchsorted(cum, 0.50 * tot)) + 1) * 32
+            p95 = (int(np.searchsorted(cum, 0.95 * tot)) + 1) * 32
+            wmax = (int(np.nonzero(wh)[0][-1]) + 1) * 32
+            print(f"  candidate windows: {tot} nonzero, length p50/p95/max"
+                  f" <= {p50}/{p95}/{wmax} slots;"
+                  f" stencil reach: {self._last_stats.get('stencil_w')}"
+                  " cells (ghost-span analog)")
         if self._last_stats:
             print(f"  last run: {self._last_stats}")
         for k_set, s in enumerate(self._sets):

@@ -31,10 +31,10 @@ Design (cf. SURVEY.md §7 "TPU-native mapping"):
      per-tile max radii shrink each tile's reach (the reference's
      per-node ghost width, ``TreeNSearch.cpp:1457-1466``).
   4. The XLA tile path (fallback for sparse domains / many pairs /
-     CPU) processes tiles of consecutive sorted points against shared
-     two-subwindow ranges and compacts with ``utils/compact.py`` — the
-     TPU equivalent of the reference's AVX2 LUT compaction
-     (``TreeNSearch.cpp:2486-2492``).
+     CPU) consumes the SAME row-aligned layout + window descriptors as
+     the kernel, with plain XLA dynamic slices and ``utils/compact.py``
+     row compaction — the TPU equivalent of the reference's AVX2 LUT
+     compaction (``TreeNSearch.cpp:2486-2492``).
 
 Static caps (dense table size, window caps, fat-tile list, tile slots,
 neighbor cap) carry overflow flags; the host grows them and re-runs
@@ -85,11 +85,17 @@ class FastKnobs(NamedTuple):
     #                            measured -12 ms/step at 1M, probe_r4a)
     rec_wide: bool = False     # one wide (lane-padded) record gather
     #                            instead of narrow gather + lane pad
-    unpack_win: bool = False   # one lanes->sublanes window reshape instead
-    #                            of per-phase lane extracts (pack > 1)
+    lane_batch: bool = False   # v5 lane-batched kernel: one contiguous
+    #                            window buffer, one prefix matmul per
+    #                            phase, one compaction network per block
+    #                            (amortizes per-window fixed costs 9x;
+    #                            benchmarks/probe_r5a/b)
     skip_stage: int = 0        # DEV ONLY: 1 = no per-window compaction,
     #                            2 = no merge either, 3 = kernel body off,
     #                            4 = + no output init (stage attribution)
+    probe_mode: int = 0        # DEV ONLY kernel attribution ladder:
+    #                            1 = window DMAs only, 2 = + field
+    #                            extracts, 3 = + mask arithmetic
 
 
 @jax.jit
@@ -719,7 +725,8 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                  mxu_prefix=knobs.mxu_prefix,
                  packed_carry=knobs.packed_carry,
                  phase_prefix=knobs.phase_prefix,
-                 unpack_win=knobs.unpack_win)
+                 lane_batch=knobs.lane_batch,
+                 probe_mode=knobs.probe_mode)
     n_blocks_dbg = len(cand_sets)
     if knobs.skip_stage >= 5:
         # DEV: bypass the pallas calls entirely (XLA-side floor); >= 6
@@ -941,130 +948,95 @@ def build_and_search_fast(points: jnp.ndarray,
         return sol, state
 
     # ------------------------- XLA tile path -----------------------------
-    # fallback for sparse domains / > 8 candidate sets / CPU
-    w = cfg.stencil_w
-    tile, group, wcap = knobs.tile, knobs.group, knobs.wcap
-    dense_cap = knobs.dense_cap
+    # Fallback for sparse domains / > 8 candidate sets / CPU, using the
+    # SAME v3 geometry as the Pallas engine: ``_pallas_prep``'s row-aligned
+    # layout and single-k-run window descriptors, consumed by plain XLA
+    # dynamic slices + ``compact_rows``.  One window per (di, dj), windows
+    # provably disjoint — the r1 two-subwindow scheme and its ``straddle``
+    # host fallback are gone (VERDICT r3 item 7); windows wider than wcap
+    # surface through ``cand_max`` and the host regrows wcap.
+    knobs1 = knobs._replace(pack=1)   # no record packing outside Mosaic
+    carry = _pallas_prep(points, radii, state, cfg, knobs1)
+    sol = _xla_tile_search(points, radii, search_radius, state, carry,
+                           cfg, knobs1)
+    return sol, state
 
-    kx, ky, kz = state.n_cells[0], state.n_cells[1], state.n_cells[2]
-    dy = ky + 2 * w
-    dz = kz + 2 * w
-    dx = kx + 2 * w
-    # overflow check in float to avoid int32 wrap on huge sparse domains
-    dense_size_f = (dx.astype(jnp.float32) * dy.astype(jnp.float32)
-                    * dz.astype(jnp.float32))
-    dense_overflow = (dense_size_f
-                      > jnp.float32(dense_cap - 1)).astype(jnp.int32)
 
-    inv_cell = 1.0 / state.cell_size
-    ijk = K.quantize(points, state.grid_min, inv_cell, state.n_cells)
-    lin = jnp.minimum(_lin_coords(ijk, w, dy, dz), dense_cap - 1)
+def _xla_tile_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
+                     search_radius: jnp.ndarray, state: GridState,
+                     carry: FastCarry, cfg: SearchConfig,
+                     knobs: FastKnobs) -> dict:
+    """Row-aligned tile search in plain XLA against a ``FastCarry``.
+
+    Role of the reference's scalar pipeline (``TreeNSearch.cpp:
+    1873-2160``) re-expressed on the fast path's structures: queries are
+    128-slot row-aligned tiles, candidates come from the carried window
+    descriptors (one contiguous sorted k-run per stencil (di, dj)), masks
+    are the exact f32 ``d^2 <= r^2`` with index self-exclusion (windows
+    are disjoint, so one global index compare is exact), and rows are
+    front-packed by ``compact_rows`` — the XLA analog of the Pallas
+    kernel's in-VMEM compaction.
+    """
+    from .pallas_pairs import LENS_OFF, SENTINEL, TILE as PTILE
+
+    st = _pallas_statics(cfg, knobs)
+    n = cfg.n_points
+    wcap = st["wcap"]
+    tiles_cap, NPAD = st["tiles_cap"], st["NPAD"]
+    n_win = len(st["offs_2d"])
+    group = knobs.group
+    k_sel = cfg.nbr_cap
     iota = jnp.arange(n, dtype=jnp.int32)
-    lin_s, idx_s = jax.lax.sort((lin, iota), num_keys=1, is_stable=True)
 
-    pts_s = points[idx_s]
+    # padded-slot field arrays through the carried layout map; the
+    # sentinel row (opad == n) carries NaN coords (fails every distance
+    # compare) and orig = n (never equals a real query index)
+    nan1 = jnp.full((1,), SENTINEL, jnp.float32)
     set_ids = jnp.asarray(np.repeat(
         np.arange(cfg.n_sets, dtype=np.int32), cfg.set_sizes))
-    set_id_s = set_ids[idx_s]
-    r_s = radii[idx_s] if cfg.variable else None
-    ijk_s = K.quantize(pts_s, state.grid_min, inv_cell, state.n_cells)
-
-    # Dense cell table: table[q] = number of points with lin < q, i.e. the
-    # sorted start index of cell q with empty cells naturally pointing at
-    # the next occupied cell.  Built as histogram + blocked cumsum.
-    hist = jnp.zeros((dense_cap + 1,), jnp.int32).at[lin + 1].add(1)
-    table = _blocked_cumsum(hist)
-
-    # packed candidate fields, padded by wcap rows so window slices never
-    # clamp (padding rows carry orig index n => masked out)
-    zeros_f = jnp.zeros((wcap,), jnp.float32)
-    xf = jnp.concatenate([pts_s[:, 0], zeros_f])
-    yf = jnp.concatenate([pts_s[:, 1], zeros_f])
-    zf = jnp.concatenate([pts_s[:, 2], zeros_f])
-    of = jnp.concatenate([idx_s, jnp.full((wcap,), n, jnp.int32)])
-    sf = jnp.concatenate([set_id_s, jnp.full((wcap,), -1, jnp.int32)])
-    rf = jnp.concatenate([r_s, zeros_f]) if cfg.variable else None
+    opad = carry.opad
+    xp = jnp.concatenate([points[:, 0], nan1])[opad]
+    yp = jnp.concatenate([points[:, 1], nan1])[opad]
+    zp = jnp.concatenate([points[:, 2], nan1])[opad]
+    op = jnp.concatenate([iota, jnp.full((1,), n, jnp.int32)])[opad]
+    sp = jnp.concatenate([set_ids, jnp.full((1,), -1, jnp.int32)])[opad]
+    rp = jnp.concatenate([radii, nan1])[opad] if cfg.variable else None
 
     offsets_arr = np.asarray(cfg.set_offsets, np.int32)
     r2_fixed = (search_radius * search_radius).astype(jnp.float32)
-    offs_2d = [(di, dj) for di in range(-w, w + 1)
-               for dj in range(-w, w + 1)]
-    n_ranges = len(offs_2d)
-    m_width = n_ranges * wcap
     slot_in_win = jnp.arange(wcap, dtype=jnp.int32)[None, :]
-
-    n_tiles = -(-n // tile)
-    n_groups = -(-n_tiles // group)
-    k_sel = cfg.nbr_cap
+    desc = carry.desc
+    n_groups = -(-tiles_cap // group)
+    # group-pad the tile range; padded tiles read descriptor row 0 and
+    # produce rows that the per-set qpos gather never touches
+    m_width = n_win * wcap
 
     def tile_body(t):
-        """One tile of `tile` consecutive sorted query points.
+        t = jnp.minimum(t, tiles_cap - 1)
+        base = t * PTILE
 
-        Stencil windows are computed per (di, dj) as TWO row-bounded
-        subwindows — one in the (i, j) row of the tile's first point, one
-        in the row of its last point — merged into a single wcap-wide
-        buffer with a dynamic roll.  Points are contiguous in k within a
-        row, so these cover every tile point's stencil run exactly unless
-        the tile spans >= 3 distinct (i, j) rows; that rare case raises
-        the ``straddle`` flag and the host falls back to the search-based
-        pipeline.  This keeps window width ~ tile + stencil slack instead
-        of blowing up to whole grid rows when a tile crosses a row
-        boundary.
-        """
-        p0 = jnp.minimum(t * tile, n - 1)
-        p1 = jnp.minimum(t * tile + tile - 1, n - 1)
-        ijk0 = ijk_s[p0]
-        ijk1 = ijk_s[p1]
-        same_row = (ijk0[0] == ijk1[0]) & (ijk0[1] == ijk1[1])
-        # tight k-extents for crossing tiles
-        row0_base = ((ijk0[0] + w) * dy + (ijk0[1] + w)) * dz
-        row1_base = ((ijk1[0] + w) * dy + (ijk1[1] + w)) * dz
-        end_first = table[jnp.clip(row0_base + dz, 0, dense_cap)]
-        start_last = table[jnp.clip(row1_base, 0, dense_cap)]
-        k_a = jnp.where(
-            same_row, ijk1[2],
-            ijk_s[jnp.clip(jnp.minimum(p1, end_first - 1), 0, n - 1), 2])
-        k_b = ijk_s[jnp.clip(jnp.maximum(p0, start_last), 0, n - 1), 2]
+        def qload(field):
+            return jax.lax.dynamic_slice(field, (base,), (PTILE,))
 
-        base = t * tile + jnp.arange(tile, dtype=jnp.int32)
-        base_c = jnp.minimum(base, n - 1)
-        row_valid = base < n
-        my_orig = idx_s[base_c]
-        my_set = set_id_s[base_c]
-        qx = pts_s[base_c, 0][:, None]
-        qy = pts_s[base_c, 1][:, None]
-        qz = pts_s[base_c, 2][:, None]
-        q_i = ijk_s[base_c, 0][:, None]
-        q_j = ijk_s[base_c, 1][:, None]
-        q_k = ijk_s[base_c, 2][:, None]
-        my_r2 = (r_s[base_c] ** 2)[:, None] if cfg.variable else None
-        gx, gy, gz = state.grid_min[0], state.grid_min[1], state.grid_min[2]
+        my_orig = qload(op)
+        my_set = qload(sp)
+        qx = qload(xp)[:, None]
+        qy = qload(yp)[:, None]
+        qz = qload(zp)[:, None]
+        my_r2 = (qload(rp) ** 2)[:, None] if cfg.variable else None
 
-        def window(di, dj):
-            # subwindow A: stencil k-run within the first point's row
-            a_base = ((ijk0[0] + w + di) * dy + (ijk0[1] + w + dj)) * dz
-            a0 = table[jnp.clip(a_base + ijk0[2], 0, dense_cap)]
-            a1 = table[jnp.clip(a_base + k_a + 2 * w + 1, 0, dense_cap)]
-            len_a = jnp.maximum(a1 - a0, 0)
-            # subwindow B: stencil k-run within the last point's row
-            b_base = ((ijk1[0] + w + di) * dy + (ijk1[1] + w + dj)) * dz
-            b0 = table[jnp.clip(b_base + k_b, 0, dense_cap)]
-            b1 = table[jnp.clip(b_base + ijk1[2] + 2 * w + 1, 0, dense_cap)]
-            len_b = jnp.where(same_row, 0, jnp.maximum(b1 - b0, 0))
-            ln = len_a + len_b
+        masks, locs, wsets = [], [], []
+        for w in range(n_win):
+            s = desc[t, w]
+            ln = desc[t, LENS_OFF + w]
 
-            def load(field):
-                wa = jax.lax.dynamic_slice(field, (a0,), (wcap,))
-                wb = jax.lax.dynamic_slice(field, (b0,), (wcap,))
-                return jnp.where(slot_in_win[0] < len_a, wa,
-                                 jnp.roll(wb, len_a))[None, :]
+            def load(field, s=s):
+                return jax.lax.dynamic_slice(field, (s,), (wcap,))[None, :]
 
-            wx = load(xf)
-            wy = load(yf)
-            wz = load(zf)
-            wo = load(of)
-            ws = load(sf)
-
+            wx = load(xp)
+            wy = load(yp)
+            wz = load(zp)
+            wo = load(op)
             ddx = wx - qx
             ddy = wy - qy
             ddz = wz - qz
@@ -1072,50 +1044,31 @@ def build_and_search_fast(points: jnp.ndarray,
             if cfg.variable:
                 crit = d2 <= my_r2
                 if cfg.symmetric:
-                    wr = load(rf)
+                    wr = load(rp)
                     crit = crit | (d2 <= wr * wr)
             else:
                 crit = d2 <= r2_fixed
-            # hulls of different (di, dj) overlap when a tile spans grid
-            # rows; requiring the candidate's own cell to match exactly
-            # this stencil offset makes the windows disjoint (each
-            # neighbor is counted in precisely one window)
-            c_i = jnp.clip(jnp.floor((wx - gx) * inv_cell), 0,
-                           (kx - 1).astype(jnp.float32)).astype(jnp.int32)
-            c_j = jnp.clip(jnp.floor((wy - gy) * inv_cell), 0,
-                           (ky - 1).astype(jnp.float32)).astype(jnp.int32)
-            c_k = jnp.clip(jnp.floor((wz - gz) * inv_cell), 0,
-                           (kz - 1).astype(jnp.float32)).astype(jnp.int32)
-            in_stencil = ((c_i == q_i + di) & (c_j == q_j + dj)
-                          & (jnp.abs(c_k - q_k) <= w))
-            m = (crit & in_stencil & (slot_in_win < ln)
-                 & (wo != my_orig[:, None]) & row_valid[:, None])
+            # windows of distinct (di, dj) are DISJOINT sorted ranges and
+            # each point occupies one padded slot, so a single global
+            # index compare is exactly the self-exclusion rule
+            m = (crit & (slot_in_win < ln) & (wo != my_orig[:, None]))
+            masks.append(m)
             if cfg.n_sets == 1:
-                loc_j = wo
+                locs.append(wo * jnp.ones((PTILE, 1), jnp.int32))
             else:
+                ws = load(sp)
                 off_j = jnp.zeros_like(wo)
                 for sj in range(cfg.n_sets):
                     off_j = jnp.where(ws == sj, offsets_arr[sj], off_j)
-                loc_j = wo - off_j
-            return m, loc_j * jnp.ones((tile, 1), jnp.int32), \
-                ws * jnp.ones((tile, 1), jnp.int32), ln
+                locs.append((wo - off_j) * jnp.ones((PTILE, 1), jnp.int32))
+                wsets.append(ws * jnp.ones((PTILE, 1), jnp.int32))
 
-        # a point in neither the first nor the last point's row is not
-        # covered by the two subwindows -> flag for host fallback
-        covered = (((q_i[:, 0] == ijk0[0]) & (q_j[:, 0] == ijk0[1]))
-                   | ((q_i[:, 0] == ijk1[0]) & (q_j[:, 0] == ijk1[1])))
-        straddle = jnp.any(row_valid & ~covered).astype(jnp.int32)
+        mask_all = jnp.concatenate(masks, axis=1)
+        locj_all = jnp.concatenate(locs, axis=1)
+        if cfg.n_sets > 1:
+            wset_all = jnp.concatenate(wsets, axis=1)
 
-        offs = np.asarray(offs_2d, np.int32)
-        m9, lj9, ws9, ln9 = jax.vmap(window)(
-            jnp.asarray(offs[:, 0]), jnp.asarray(offs[:, 1]))
-        # (R, tile, wcap) -> (tile, R*wcap)
-        mask_all = jnp.transpose(m9, (1, 0, 2)).reshape(tile, m_width)
-        locj_all = jnp.transpose(lj9, (1, 0, 2)).reshape(tile, m_width)
-        wset_all = jnp.transpose(ws9, (1, 0, 2)).reshape(tile, m_width)
-        win_max = jnp.max(ln9)
-
-        out = {"cand_total": win_max, "straddle": straddle}
+        out = {}
         for (si, sj) in cfg.active_pairs:
             pm = mask_all & (my_set == si)[:, None]
             if cfg.n_sets > 1:
@@ -1130,18 +1083,7 @@ def build_and_search_fast(points: jnp.ndarray,
         return jax.vmap(tile_body)(ts)
 
     mapped = jax.lax.map(group_body, jnp.arange(n_groups, dtype=jnp.int32))
-    sol = _finalize(mapped, idx_s, n, state, cfg, k_sel, dense_overflow,
-                    lin_s)
-    sol["pallas_used"] = jnp.zeros((), jnp.int32)
-    sol["tile_overflow"] = jnp.zeros((), jnp.int32)
-    return sol, state
 
-
-def _finalize(mapped, idx_s, n, state, cfg, k_sel, dense_overflow, lin_s):
-    """Un-permute tile outputs (sorted order) to per-set original order."""
-    iota = jnp.arange(n, dtype=jnp.int32)
-    inv_perm = jnp.zeros((n,), jnp.int32).at[idx_s].set(iota,
-                                                        unique_indices=True)
     pairs = {}
     for (si, sj) in cfg.active_pairs:
         name = _pair_name(si, sj)
@@ -1149,8 +1091,8 @@ def _finalize(mapped, idx_s, n, state, cfg, k_sel, dense_overflow, lin_s):
         cnt_all = mapped[name]["counts"].reshape(-1)
         nbr_all = mapped[name]["nbrs"].reshape(-1, k_sel)
         if n_i > 0:
-            rows = jax.lax.dynamic_slice_in_dim(inv_perm,
-                                                cfg.set_offsets[si], n_i)
+            rows = jax.lax.dynamic_slice_in_dim(
+                carry.qpos, cfg.set_offsets[si], n_i)
             counts = cnt_all[rows]
             nbrs = nbr_all[rows]
             max_count = jnp.max(counts)
@@ -1158,20 +1100,22 @@ def _finalize(mapped, idx_s, n, state, cfg, k_sel, dense_overflow, lin_s):
             counts = jnp.zeros((0,), jnp.int32)
             nbrs = jnp.zeros((0, k_sel), jnp.int32)
             max_count = jnp.zeros((), jnp.int32)
-        pairs[name] = {"counts": counts, "nbrs": nbrs, "max_count": max_count}
-
-    if n > 1:
-        n_cells_stat = 1 + jnp.sum(lin_s[1:] != lin_s[:-1])
-    else:
-        n_cells_stat = jnp.asarray(n, jnp.int32)
+        pairs[name] = {"counts": counts, "nbrs": nbrs,
+                       "max_count": max_count}
 
     return {
         "pairs": pairs,
-        "cand_max": jnp.max(mapped["cand_total"]),  # widest window seen
-        "n_cells": n_cells_stat,
+        # windows wider than wcap get truncated candidates; win_max is the
+        # true maximum, so the host regrow sees it and grows wcap
+        "cand_max": jnp.where(carry.win_max > wcap, carry.win_max, 0),
+        "n_cells": carry.n_cells_stat,
         "error": state.error,
-        "dense_overflow": dense_overflow,
-        "straddle": jnp.max(mapped["straddle"]),
+        "dense_overflow": carry.dense_overflow,
+        "straddle": jnp.zeros((), jnp.int32),
+        "pallas_used": jnp.zeros((), jnp.int32),
+        "tile_overflow": carry.tile_overflow,
+        "rows_overflow": carry.rows_overflow,
+        "win_hist": carry.win_hist,
     }
 
 

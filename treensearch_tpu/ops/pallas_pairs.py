@@ -204,7 +204,8 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     mxu_prefix: bool = DEFAULT_MXU_PREFIX,
                     packed_carry: bool = DEFAULT_PACKED_CARRY,
                     phase_prefix: bool = False,
-                    unpack_win: bool = False):
+                    lane_batch: bool = False,
+                    probe_mode: int = 0):
     """Build a pallas_call for one tier.
 
     Narrow tier (``fat_tier=False``): grid over all tiles; tiles whose
@@ -275,9 +276,11 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
         @pl.when(_run_pred(desc_ref, row))
         def _():
             for w in range(n_win):
+                dst = win.at[bank, pl.ds(w * wrows, wrows)] if lane_batch \
+                    else win.at[bank, w]
                 pltpu.make_async_copy(
                     rec_ref.at[pl.ds(desc_ref[row, w] // pack, wrows)],
-                    win.at[bank, w], sems.at[bank, w]).start()
+                    dst, sems.at[bank, w]).start()
 
     nw8 = -(-n_win // 8) * 8
 
@@ -288,6 +291,247 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
         # processed per grid step to amortize the per-step pipeline
         # overhead, measured ~5.6 us/step at 1M)
         r2_fixed = params_ref[0, 0]
+
+        if probe_mode:
+            # DEV-ONLY attribution ladder (benchmarks/probe_r5a.py):
+            #   1 = window DMAs only, 2 = + per-phase field extracts
+            #   (no lane broadcast), 3 = + full mask arithmetic.
+            # Results land in the counts row so the calls stay live.
+            @pl.when(_run_pred(desc_ref, row))
+            def _():
+                qx = _f32(qt_ref[F_X:F_X + 1, qo:qo + TILE])
+                qy = _f32(qt_ref[F_Y:F_Y + 1, qo:qo + TILE])
+                qz = _f32(qt_ref[F_Z:F_Z + 1, qo:qo + TILE])
+                q_orig = qt_ref[F_ORIG:F_ORIG + 1, qo:qo + TILE]
+                my_r2 = _f32(qt_ref[F_R:F_R + 1, qo:qo + TILE]) ** 2
+                sub_c = jax.lax.broadcasted_iota(jnp.int32, (wrows, 1), 0)
+                outc[0:wrows, :] = jnp.zeros((wrows, TILE), jnp.int32)
+
+                def _wv(w, lo, hi):
+                    # window field slice under either scratch layout
+                    if lane_batch:
+                        return win[bank, w * wrows:(w + 1) * wrows, lo:hi]
+                    return win[bank, w, :, lo:hi]
+
+                for w in range(n_win):
+                    dst = win.at[bank, pl.ds(w * wrows, wrows)] \
+                        if lane_batch else win.at[bank, w]
+                    pltpu.make_async_copy(
+                        rec_ref.at[pl.ds(desc_ref[row, w] // pack, wrows)],
+                        dst, sems.at[bank, w]).wait()
+                    if probe_mode == 1:
+                        outc[0:1, :] = outc[0:1, :] + _wv(w, 0, TILE)[0:1, :]
+                        continue
+                    ln = desc_ref[row, LENS_OFF + w]
+                    phase0 = desc_ref[row, w] % pack
+
+                    @pl.when(ln > 0)
+                    def _(w=w, ln=ln, phase0=phase0):
+                        if probe_mode == 2:
+                            a = jnp.zeros((wrows, 1), jnp.int32)
+                            for f in range(pack):
+                                o = f * lpp
+                                a = (a + _wv(w, o + F_X, o + F_X + 1)
+                                     + _wv(w, o + F_Y, o + F_Y + 1)
+                                     + _wv(w, o + F_Z, o + F_Z + 1)
+                                     + _wv(w, o + F_ORIG, o + F_ORIG + 1))
+                            outc[0:wrows, :] = outc[0:wrows, :] + a
+                            return
+                        for f in range(pack):
+                            o = f * lpp
+                            wx = _f32(_wv(w, o + F_X, o + F_X + 1))
+                            wy = _f32(_wv(w, o + F_Y, o + F_Y + 1))
+                            wz = _f32(_wv(w, o + F_Z, o + F_Z + 1))
+                            wo = _wv(w, o + F_ORIG, o + F_ORIG + 1)
+                            ddx = wx - qx
+                            ddy = wy - qy
+                            ddz = wz - qz
+                            d2 = (ddx * ddx + ddy * ddy) + ddz * ddz
+                            if variable:
+                                crit = d2 <= my_r2
+                                if symmetric:
+                                    wr = _f32(_wv(w, o + F_R, o + F_R + 1))
+                                    crit = crit | (d2 <= wr * wr)
+                            else:
+                                crit = d2 <= r2_fixed
+                            off = sub_c * pack + (f - phase0)
+                            pm = crit & ((off >= 0) & (off < ln))
+                            if w == center_win:
+                                pm = pm & (wo != q_orig)
+                            outc[0:wrows, :] = (outc[0:wrows, :]
+                                                + pm.astype(jnp.int32))
+                out_refs[0][co:co + 1, :] = jnp.sum(
+                    outc[0:wrows, :], axis=0, keepdims=True)
+            return
+
+        if lane_batch:
+            # v5 LANE-BATCHED tile pipeline (round 4).  The r4 attribution
+            # ladder (benchmarks/probe_r5a.out) showed the kernel is
+            # dominated by per-WINDOW fixed costs, not element work:
+            # field extracts ~20 ms (144 lane slices/tile), MXU prefixes
+            # ~12 ms (36 tiny matmuls/tile), window compaction ~29 ms
+            # (9 roll networks/tile) — while DMA is ~5 ms.  This branch
+            # amortizes all three 9x by batching windows:
+            #   - ONE contiguous window buffer (n_win*wrows, 128): each
+            #     field is extracted once per phase on the full buffer
+            #     (16 slices/tile instead of 144);
+            #   - masks are re-blocked windows-on-LANES (wrows, n_win*128)
+            #     per phase, so the per-phase prefix is ONE
+            #     (wrows, wrows) @ (wrows, n_win*128) matmul — same MACs,
+            #     1/n_win the launches (the r3 plane-merge attempt merged
+            #     along SUBLANES and paid m^2 prefix growth; lanes don't);
+            #   - ONE compaction network over (wcap, n_win*128) — same
+            #     element work as n_win small networks, 1/n_win the
+            #     per-step overhead; each lane block compacts its own
+            #     window independently (no cross-window collisions).
+            # Per-window staging slices and the analytic merge are
+            # unchanged, so the staged bytes and final output are
+            # bit-identical to the per-window path (tests/test_pallas.py).
+            @pl.when(_run_pred(desc_ref, row))
+            def _():
+                wsc[:, :] = jnp.zeros((n_blocks * nw8, TILE), jnp.int32)
+                qx = _f32(qt_ref[F_X:F_X + 1, qo:qo + TILE])
+                qy = _f32(qt_ref[F_Y:F_Y + 1, qo:qo + TILE])
+                qz = _f32(qt_ref[F_Z:F_Z + 1, qo:qo + TILE])
+                q_orig = qt_ref[F_ORIG:F_ORIG + 1, qo:qo + TILE]
+                my_r2 = _f32(qt_ref[F_R:F_R + 1, qo:qo + TILE]) ** 2
+                for w in range(n_win):
+                    pltpu.make_async_copy(
+                        rec_ref.at[pl.ds(desc_ref[row, w] // pack, wrows)],
+                        win.at[bank, pl.ds(w * wrows, wrows)],
+                        sems.at[bank, w]).wait()
+                rows_all = n_win * wrows
+                sub_all = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows_all, 1), 0)
+                wid = sub_all // wrows
+                rowmod = sub_all - wid * wrows
+                # per-window scalars spread to lane-invariant row vectors
+                ln_vec = jnp.zeros((rows_all, 1), jnp.int32)
+                ph_vec = jnp.zeros((rows_all, 1), jnp.int32)
+                for w in range(n_win):
+                    sel = wid == w
+                    ln_vec = jnp.where(sel, desc_ref[row, LENS_OFF + w],
+                                       ln_vec)
+                    ph_vec = jnp.where(sel, desc_ref[row, w] % pack,
+                                       ph_vec)
+                not_center = wid != center_win
+                ones_t = jnp.ones((1, TILE), jnp.int32)
+
+                pm_ph, vo_ph, ws_ph = [], [], []
+                for f in range(pack):
+                    o = f * lpp
+                    wx = _f32(win[bank, :, o + F_X:o + F_X + 1])
+                    wy = _f32(win[bank, :, o + F_Y:o + F_Y + 1])
+                    wz = _f32(win[bank, :, o + F_Z:o + F_Z + 1])
+                    wo = win[bank, :, o + F_ORIG:o + F_ORIG + 1]
+                    ddx = wx - qx
+                    ddy = wy - qy
+                    ddz = wz - qz
+                    d2 = (ddx * ddx + ddy * ddy) + ddz * ddz
+                    if variable:
+                        crit = d2 <= my_r2
+                        if symmetric:
+                            wr = _f32(win[bank, :, o + F_R:o + F_R + 1])
+                            crit = crit | (d2 <= wr * wr)
+                    else:
+                        crit = d2 <= r2_fixed
+                    off = rowmod * pack + (f - ph_vec)
+                    pm = crit & ((off >= 0) & (off < ln_vec))
+                    # self-exclusion only where the query's own record can
+                    # appear: the center window (see module docstring)
+                    pm = pm & (not_center | (wo != q_orig))
+                    pm_ph.append(pm)
+                    if skip_stage < 1:
+                        vo_ph.append(wo * ones_t)
+                    if multi_set:
+                        ws_ph.append(win[bank, :,
+                                         o + F_SET:o + F_SET + 1])
+
+                def _reblock(x):
+                    # (n_win*wrows, TILE) windows-on-sublanes ->
+                    # (wrows, n_win*TILE) windows-on-lane-blocks
+                    return jnp.concatenate(
+                        [x[w * wrows:(w + 1) * wrows, :]
+                         for w in range(n_win)], axis=1)
+
+                out_w = max(pre_caps)
+                V = None
+                tri = None
+                for b in range(n_blocks):
+                    parts, mfs = [], []
+                    run = None
+                    for f in range(pack):
+                        pmf = pm_ph[f] & (ws_ph[f] == cand_sets[b]) \
+                            if multi_set else pm_ph[f]
+                        mf = _reblock(pmf)
+                        if tri is None:
+                            r_i = jax.lax.broadcasted_iota(
+                                jnp.int32, (wrows, wrows), 0)
+                            c_i = jax.lax.broadcasted_iota(
+                                jnp.int32, (wrows, wrows), 1)
+                            tri = (r_i >= c_i).astype(jnp.bfloat16)
+                        pf = jax.lax.dot_general(
+                            tri, mf.astype(jnp.bfloat16),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                        ).astype(jnp.int32)
+                        if run is not None:
+                            pf = pf + run
+                        parts.append(pf)
+                        run = pf[wrows - 1:wrows, :]
+                        mfs.append(mf)
+                    prefix = parts[0] if pack == 1 else \
+                        jnp.concatenate(parts, axis=0)
+                    wsum_w = run            # (1, n_win*TILE) window totals
+                    # per-block counts: sum the window lane blocks
+                    cnt = wsum_w[:, 0:TILE]
+                    for w in range(1, n_win):
+                        cnt = cnt + wsum_w[:, w * TILE:(w + 1) * TILE]
+                    cref = out_refs[b // 8]
+                    cb = co + b % 8
+                    cref[cb:cb + 1, :] = cref[cb:cb + 1, :] + cnt
+                    # center/edge pre-cap regrow signals (shared rows)
+                    c_sig = wsum_w[:, center_win * TILE:
+                                   (center_win + 1) * TILE]
+                    e_sig = jnp.zeros((1, TILE), jnp.int32)
+                    for w in range(n_win):
+                        if w == center_win:
+                            continue
+                        e_sig = jnp.maximum(
+                            e_sig, wsum_w[:, w * TILE:(w + 1) * TILE])
+                    for sig, srow in ((c_sig, n_blocks),
+                                      (e_sig, n_blocks + 1)):
+                        sref = out_refs[srow // 8]
+                        sb = co + srow % 8
+                        sref[sb:sb + 1, :] = jnp.maximum(
+                            sref[sb:sb + 1, :], sig)
+                    for w in range(n_win):
+                        wsc[b * nw8 + w:b * nw8 + w + 1, :] = \
+                            wsum_w[:, w * TILE:(w + 1) * TILE]
+                    if skip_stage >= 1:
+                        outc[b * m2:(b + 1) * m2, :] = jnp.full(
+                            (m2, TILE), -1, jnp.int32)
+                        continue
+                    mask_all = mfs[0] if pack == 1 else \
+                        jnp.concatenate(mfs, axis=0)
+                    if V is None:
+                        vs = [_reblock(v) for v in vo_ph]
+                        V = vs[0] if pack == 1 else \
+                            jnp.concatenate(vs, axis=0)
+                    vals_b = V - cand_offsets[b] if cand_offsets[b] \
+                        else V
+                    staged = _compact_sub(
+                        mask_all, vals_b, out_w, p=prefix,
+                        mxu_prefix=True, packed_carry=False)
+                    for w in range(n_win):
+                        outc[b * m2 + pc_off[w]:
+                             b * m2 + pc_off[w + 1], :] = \
+                            staged[:pre_caps[w],
+                                   w * TILE:(w + 1) * TILE]
+
+                if skip_stage < 2:
+                    _merge(out_refs, outc, wsc, g_out)
+            return
 
         @pl.when(_run_pred(desc_ref, row))
         def _():
@@ -392,41 +636,6 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     masks, all_vals = [], []
                     if multi_set:
                         all_ws = []
-                    if unpack_win and pack > 1:
-                        # ONE lanes->sublanes reshape per window puts every
-                        # slot on its own sublane row (fields at lanes
-                        # 0..7), replacing `pack` per-phase lane extracts
-                        # with a single set — lets pack=16 (minimum DMA
-                        # bytes) pay one relayout instead of 16 extract
-                        # rounds per field.  Whether the relayout is
-                        # cheaper than the extracts is a hardware question
-                        # (benchmarks/probe_r4e.py).
-                        resh = win[bank, w, :, :].reshape(wcap, lpp)
-                        wx = _f32(resh[:, F_X:F_X + 1])
-                        wy = _f32(resh[:, F_Y:F_Y + 1])
-                        wz = _f32(resh[:, F_Z:F_Z + 1])
-                        wo = resh[:, F_ORIG:F_ORIG + 1]
-                        ddx = wx - qx
-                        ddy = wy - qy
-                        ddz = wz - qz
-                        d2 = (ddx * ddx + ddy * ddy) + ddz * ddz
-                        if variable:
-                            crit = d2 <= my_r2
-                            if symmetric:
-                                wr = _f32(resh[:, F_R:F_R + 1])
-                                crit = crit | (d2 <= wr * wr)
-                        else:
-                            crit = d2 <= r2_fixed
-                        sub_f = jax.lax.broadcasted_iota(
-                            jnp.int32, (wcap, 1), 0)
-                        off = sub_f - phase0
-                        pm = crit & ((off >= 0) & (off < ln))
-                        if w == center_win:
-                            pm = pm & (wo != q_orig)
-                        wsb = [resh[:, F_SET:F_SET + 1] * ones_t] \
-                            if multi_set else None
-                        _emit(w, [pm], wsb, pm, wo * ones_t)
-                        return
                     for f in range(pack):
                         o = f * lpp
                         wx = _f32(win[bank, w, :, o + F_X:o + F_X + 1])
@@ -476,35 +685,38 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                           mask_geo, wo_b)
 
             if skip_stage < 2:
-                for b in range(n_blocks):
-                    merged = outc[b * m2:(b + 1) * m2, :]
-                    # ANALYTIC merge positions: each window's staging is
-                    # front-packed, so staged row (w, i) is the i-th
-                    # survivor of window w and its global position is
-                    # sum of earlier windows' staged counts + i + 1 — no
-                    # (m2, m2) prefix matmul.  min() against pre_caps
-                    # keeps the positions consistent under truncation
-                    # (truncated runs are discarded by the pre_surv
-                    # regrow signal, but stay well-formed).
-                    run = jnp.zeros((1, TILE), jnp.int32)
-                    p_parts = []
-                    for w in range(n_win):
-                        sw = jnp.minimum(
-                            wsc[b * nw8 + w:b * nw8 + w + 1, :],
-                            pre_caps[w])
-                        io = jax.lax.broadcasted_iota(
-                            jnp.int32, (pre_caps[w], 1), 0)
-                        p_parts.append(io + (run + 1))
-                        run = run + sw
-                    p_m = p_parts[0] if n_win == 1 else \
-                        jnp.concatenate(p_parts, axis=0)
-                    # block rows beyond each cap stay -1
-                    k_out = min(nbr_caps[b], m2)
-                    no = g_out * nbr_caps[b]
-                    out_refs[n_cnt + b][no:no + k_out, :] = _compact_sub(
-                        merged >= 0, merged, k_out, p=p_m,
-                        val_bound=val_bound,
-                        mxu_prefix=mxu_prefix, packed_carry=packed_carry)
+                _merge(out_refs, outc, wsc, g_out)
+
+    def _merge(out_refs, outc, wsc, g_out):
+        for b in range(n_blocks):
+            merged = outc[b * m2:(b + 1) * m2, :]
+            # ANALYTIC merge positions: each window's staging is
+            # front-packed, so staged row (w, i) is the i-th
+            # survivor of window w and its global position is
+            # sum of earlier windows' staged counts + i + 1 — no
+            # (m2, m2) prefix matmul.  min() against pre_caps
+            # keeps the positions consistent under truncation
+            # (truncated runs are discarded by the pre_surv
+            # regrow signal, but stay well-formed).
+            run = jnp.zeros((1, TILE), jnp.int32)
+            p_parts = []
+            for w in range(n_win):
+                sw = jnp.minimum(
+                    wsc[b * nw8 + w:b * nw8 + w + 1, :],
+                    pre_caps[w])
+                io = jax.lax.broadcasted_iota(
+                    jnp.int32, (pre_caps[w], 1), 0)
+                p_parts.append(io + (run + 1))
+                run = run + sw
+            p_m = p_parts[0] if n_win == 1 else \
+                jnp.concatenate(p_parts, axis=0)
+            # block rows beyond each cap stay -1
+            k_out = min(nbr_caps[b], m2)
+            no = g_out * nbr_caps[b]
+            out_refs[n_cnt + b][no:no + k_out, :] = _compact_sub(
+                merged >= 0, merged, k_out, p=p_m,
+                val_bound=val_bound,
+                mxu_prefix=mxu_prefix, packed_carry=packed_carry)
 
     G = 1 if fat_tier else tiles_per_step
 
@@ -580,7 +792,9 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                      win, outc, wsc, sems, g % n_banks)
 
     scratch = [
-        pltpu.VMEM((n_banks, n_win, wrows, 128), jnp.int32),
+        # lane_batch stages all windows contiguously (one buffer per bank)
+        pltpu.VMEM((n_banks, n_win * wrows, 128), jnp.int32) if lane_batch
+        else pltpu.VMEM((n_banks, n_win, wrows, 128), jnp.int32),
         pltpu.VMEM((n_blocks * m2, TILE), jnp.int32),
         pltpu.VMEM((n_blocks * nw8, TILE), jnp.int32),
         pltpu.SemaphoreType.DMA((n_banks, n_win)),

@@ -197,7 +197,8 @@ def build_and_search_sharded(points: jnp.ndarray,
     L0 = -(-n // n_dev)              # input rows per device
     n_in = L0 * n_dev
     # routing bucket cap per (sender, owner); expected load is n/D^2
-    S = round_up(max(64, int(route_slack * n / (n_dev * n_dev)) + 64), 8)
+    S = round_up(max(8, int(route_slack
+                         * (n / (n_dev * n_dev) + 64))), 8)
     L = n_dev * S                    # owned-record capacity per device
     Lc = 3 * L                       # owned + two neighbor-slab halos
     chunk = cfg.chunk
@@ -338,7 +339,8 @@ def build_and_search_sharded_fast(points: jnp.ndarray,
 
     L0 = -(-n // n_dev)
     n_in = L0 * n_dev
-    S = round_up(max(64, int(route_slack * n / (n_dev * n_dev)) + 64), 8)
+    S = round_up(max(8, int(route_slack
+                         * (n / (n_dev * n_dev) + 64))), 8)
     L = n_dev * S
     Lc = 3 * L
     w = cfg.stencil_w
@@ -461,6 +463,26 @@ def build_and_search_sharded_fast(points: jnp.ndarray,
         "pallas_used": jnp.ones((), jnp.int32),
     }
     return solution, state
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "axis", "route_slack"))
+def build_and_search_sharded_jit(points, radii, search_radius, cell_size,
+                                 state, cfg: SearchConfig, mesh: Mesh,
+                                 axis: str = "d", route_slack: float = 2.5):
+    return build_and_search_sharded(points, radii, search_radius, cell_size,
+                                    state, cfg, mesh, axis, route_slack)
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "knobs", "mesh", "axis", "route_slack"))
+def build_and_search_sharded_fast_jit(points, radii, search_radius,
+                                      cell_size, state, cfg: SearchConfig,
+                                      mesh: Mesh, knobs: "fp.FastKnobs",
+                                      axis: str = "d",
+                                      route_slack: float = 2.5):
+    return build_and_search_sharded_fast(points, radii, search_radius,
+                                         cell_size, state, cfg, mesh, knobs,
+                                         axis, route_slack)
 
 
 def make_sharded_step(cfg: SearchConfig, mesh: Mesh, cell_size: float,
