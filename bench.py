@@ -58,6 +58,10 @@ def main():
         eng.set_window_cap(int(os.environ["BENCH_WCAP"]))
     if "BENCH_PACK" in os.environ:
         eng.set_record_pack(int(os.environ["BENCH_PACK"]))
+    if "BENCH_LB" in os.environ:
+        eng.set_lane_batch(bool(int(os.environ["BENCH_LB"])))
+    if "BENCH_TPS" in os.environ:
+        eng.set_tiles_per_step(int(os.environ["BENCH_TPS"]))
 
     # z-order once (SPH practice), settle the padding caps, warm the cache
     eng.prepare_zsort()

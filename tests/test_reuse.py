@@ -172,3 +172,48 @@ def test_engine_run_uses_carry_and_stays_exact():
             got = np.sort(np.asarray(eng.get_neighborlist(0, 0, i)
                                      .to_numpy()))
             assert np.array_equal(got, orc.neighbors[(0, 0)][i]), i
+
+
+def test_carry_invalidated_by_knob_change():
+    """A carried FastCarry bakes in its window cap's FAT-TIER ROUTING;
+    reusing it after the cap changes (the wcap auto-tune between the
+    first and second run) must rebuild, not reuse.  Regression for the
+    1M headline validation failure (12,245 pairs silently truncated;
+    benchmarks/validate_1m_r5.out first attempt): run 1 at a wide cap
+    routes a dense cluster's tiles narrow, run 2 at a snug cap must
+    re-route them fat — a stale carry truncates their windows instead."""
+    from treensearch_tpu import TreeNSearch
+
+    rng = np.random.default_rng(11)
+    r = 0.08
+    cluster = (np.asarray([0.18, 0.18, 0.5], np.float32)
+               + 0.004 * rng.standard_normal((300, 3))).astype(np.float32)
+    sparse = rng.uniform(0, 1, (500, 3)).astype(np.float32)
+    sparse[:, :2] *= 0.36
+    pts = np.concatenate([cluster, sparse])
+    n = pts.shape[0]
+
+    eng = TreeNSearch()
+    eng.add_point_set(pts)
+    eng.set_search_radius(r)
+    eng.set_all_searches(True)
+    eng.set_use_pallas(True, interpret=True)
+    eng.set_neighbor_cap(384)
+    eng.set_prestage_caps(384, 384)
+    eng._fat_cap = 16
+    eng._tiles_cap = 64
+    eng._dense_cap = 1 << 14
+    eng.set_window_cap(512)   # cluster windows fit the narrow tier
+    eng.run()
+    # what the auto-tune does between runs: shrink the cap in place
+    eng._wcap = 96            # cluster windows now MUST route fat
+    eng.run()
+    c2 = np.asarray(eng.get_counts(0, 0))
+
+    orc = BruteforceNSearch(search_radius=r)
+    orc.add_point_set(pts)
+    orc.set_all_searches(True)
+    orc.run()
+    exp = np.asarray([orc.neighbors[(0, 0)][i].size for i in range(n)])
+    assert np.array_equal(c2, exp), (
+        f"{int((c2 != exp).sum())} points truncated by stale carry")

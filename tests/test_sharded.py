@@ -203,10 +203,14 @@ def test_engine_distribute_matches_single_device():
     eng8 = _build_engine(p0, r0, p1, r1, mesh=mesh)
     assert eng8.get_mesh() is mesh
     # deliberately undersized routing buckets: the settle loop must
-    # detect route_overflow and grow route_slack until the run is clean
-    eng8._route_slack = 0.02
+    # detect route_overflow and grow route_slack until the run is clean.
+    # 0.2 -> S=16 < the measured max bucket load for this seed, so
+    # exactly one doubling settles it (each distinct S is a fresh XLA
+    # compile; starting lower costs minutes of suite time for no extra
+    # coverage)
+    eng8._route_slack = 0.2
     eng8.run()
-    assert eng8._route_slack > 0.02
+    assert eng8._route_slack > 0.2
 
     for (si, sj) in ((0, 0), (0, 1), (1, 0)):
         c1, nb1 = eng1.get_neighbors(si, sj)

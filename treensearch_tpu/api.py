@@ -616,12 +616,17 @@ class TreeNSearch:
             f"nbr_cap={self._nbr_cap}, dense_cap={self._dense_cap})")
 
     def _get_carry(self, cfg, knobs):
-        """Return the carried FastCarry if its shapes still match, else a
-        fresh invalid one (cap regrowth / point-count changes reshape it;
-        staleness of the CONTENT is detected on device, not here)."""
-        st = _pallas_statics(cfg, knobs)
-        key = (cfg.n_points, cfg.variable, st["tiles_cap"], st["fat_cap"],
-               st["NPAD"], st["nt8"])
+        """Return the carried FastCarry if it is still valid for this
+        exact (cfg, knobs), else a fresh invalid one.  The key must cover
+        EVERY static the carry CONTENT depends on, not just its shapes:
+        a carry built at one window cap holds that cap's fat-tier routing,
+        and reusing it after the wcap auto-tune made the narrow kernel
+        truncate 241..369-slot windows at 1M (12,245 pairs silently lost;
+        benchmarks/validate_1m_r5.out first failure).  Keying on the full
+        config/knob tuples costs at most one in-graph rebuild per knob
+        change.  Staleness of the content under identical statics (points
+        moving) is still detected on device."""
+        key = (cfg, knobs._replace(skip_stage=0, probe_mode=0))
         if getattr(self, "_carry_key", None) != key \
                 or self._fast_carry is None:
             self._fast_carry = make_fast_carry0(cfg, knobs)

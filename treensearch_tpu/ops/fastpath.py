@@ -394,8 +394,10 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
 
     # Dense cell table: table[q] = number of points with lin < q, i.e. the
     # sorted start index of cell q with empty cells naturally pointing at
-    # the next occupied cell.  Built as histogram + blocked cumsum.
-    hist = jnp.zeros((dense_cap + 1,), jnp.int32).at[lin + 1].add(1)
+    # the next occupied cell.  Built as histogram + blocked cumsum; the
+    # scatter-add runs over the SORTED ids (same multiset, monotone
+    # destinations batch better in the TPU scatter engine).
+    hist = jnp.zeros((dense_cap + 1,), jnp.int32).at[lin_s + 1].add(1)
     table = _blocked_cumsum(hist)
 
     # ---- row-aligned padded layout (see ops/pallas_pairs.py) -----------
@@ -416,12 +418,6 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     npad_total = n + pads_inc[-1]
     tile_overflow = (npad_total > NPAD).astype(jnp.int32)
     pp = jnp.minimum(iota + pads_exc[rid], NPAD - 1)  # padded slot
-    # padded slot -> ORIGINAL point index (or n for padding): composes the
-    # sort permutation into the layout scatter so the per-step record
-    # build needs no separate sorted-slot indirection; the sentinel tail
-    # serves window DMA overreads and the fat tier's padded dummy ids
-    opad = jnp.full((NPAD + st["slack"],), n, jnp.int32).at[pp].set(
-        idx_s, unique_indices=True)
 
     # ---- per-tile row/k extents -----------------------------------------
     # a tile lies in ONE grid row and ``lin_s`` is sorted, so the tile's
@@ -453,6 +449,21 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     k0 = jnp.maximum(lmin - trow * dz, 0)
     k1 = jnp.maximum(lmax - trow * dz, 0)
 
+    # ---- padded slot -> ORIGINAL point index (or n for padding) ---------
+    # A row's real slots are contiguous from its padded start, so slot
+    # p = 128 t + lane holds sorted index a_t[t] + lane when lane <
+    # cnt_t[t] and padding otherwise — plain arithmetic + ONE gather.
+    # (The r3 scheme scattered idx_s through pp: a 1.25M-slot scatter
+    # that was the single largest prep term at 1M — 12.5 ms,
+    # benchmarks/probe_r5d.out D5.)  The sentinel tail serves window DMA
+    # overreads and the fat tier's padded dummy ids.
+    lane_i = jnp.arange(PTILE, dtype=jnp.int32)[None, :]
+    g_idx = jnp.minimum(a_t[:, None] + lane_i, jnp.maximum(n - 1, 0))
+    lane_ok = lane_i < cnt_t[:, None]
+    o_tiles = jnp.where(lane_ok, idx_s[g_idx] if n > 0 else n, n)
+    opad = jnp.concatenate([o_tiles.reshape(-1),
+                            jnp.full((st["slack"],), n, jnp.int32)])
+
     # ---- local stencil reach (variable mode) ----------------------------
     # the static stencil W = ceil(r_max_global/cell) bounds the
     # (di, dj) loop, but each tile only reaches as far as
@@ -462,10 +473,8 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     # local reach get length 0 and are skipped inside the kernel.
     if cfg.variable:
         row_rmax = jnp.zeros((rows_cap,), jnp.float32).at[rid].max(r_s)
-        g_t = opad[:NPAD].reshape(tiles_cap, PTILE)
-        valid_t = g_t < n
         tile_rmax = jnp.max(jnp.where(
-            valid_t, radii[jnp.minimum(g_t, n - 1)], 0.0), axis=1)
+            lane_ok, r_s[g_idx] if n > 0 else 0.0, 0.0), axis=1)
 
     # ---- window descriptors: one k-run per (di, dj) ---------------------
     # window = sorted range [table[row' + k0 - w], table[row' + k1+w+1])
@@ -544,13 +553,16 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     desc = desc.at[:tiles_cap, FAT_COL].set(fat_col)
 
     # ---- carried maps ---------------------------------------------------
-    inv_perm = jnp.zeros((n,), jnp.int32).at[idx_s].set(
-        iota, unique_indices=True)
-    # original index -> padded slot, composed once here so the per-step
-    # epilogue gathers through ONE map (a per-pair pp[inv_perm[...]]
-    # double gather showed up as a real per-step cost at 1M)
-    qpos_map = jnp.zeros((n,), jnp.int32).at[idx_s].set(
-        pp, unique_indices=True)
+    # inv_perm[p] = sorted position of original point p, qpos[p] = its
+    # padded slot.  Both are scatters of a permutation — computed instead
+    # by ONE cheap key sort (idx_s is unique, so stability is moot): the
+    # 1M lax.sort costs ~1.3 ms where the two 1M scatters cost ~12
+    # (benchmarks/probe_r5d.out D6 vs D2).
+    if n > 0:
+        _, inv_perm, qpos_map = jax.lax.sort(
+            (idx_s, iota, pp), num_keys=1, is_stable=False)
+    else:
+        inv_perm = qpos_map = jnp.zeros((0,), jnp.int32)
     if n > 1:
         n_cells_stat = 1 + jnp.sum(lin_s[1:] != lin_s[:-1])
     else:
