@@ -9,6 +9,10 @@ from treensearch_tpu.config import SearchConfig
 from treensearch_tpu.ops.grid import fresh_state
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
 def _prep(variable, seed=3, n=4000, cell=0.05):
     rng = np.random.default_rng(seed)
     pts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
