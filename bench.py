@@ -62,12 +62,30 @@ def main():
         eng.set_lane_batch(bool(int(os.environ["BENCH_LB"])))
     if "BENCH_TPS" in os.environ:
         eng.set_tiles_per_step(int(os.environ["BENCH_TPS"]))
+    if "BENCH_BRICK" in os.environ:   # "2,2,3" or "" (row tiles)
+        v = os.environ["BENCH_BRICK"]
+        eng.set_brick(tuple(int(x) for x in v.split(",")) if v else None)
+    if "BENCH_PRE" in os.environ:     # "center,edge"
+        c, e = os.environ["BENCH_PRE"].split(",")
+        eng.set_prestage_caps(int(c), int(e))
 
     # z-order once (SPH practice), settle the padding caps, warm the cache
     eng.prepare_zsort()
     pts = np.asarray(eng.apply_zsort(0, pts))
     eng.resize_point_set(0, pts)
     eng.run()
+    if os.environ.get("BENCH_VERBOSE"):
+        st = dict(eng._last_stats)
+        hist = st.pop("win_hist", None)
+        print("[knobs]", f"pack={eng._pack} wcap={eng._wcap} "
+              f"fat=({eng._fat_wcap},{eng._fat_cap}) "
+              f"pre=({eng._pre_cap},{eng._pre_edge}) "
+              f"tiles={eng._tiles_cap} brick={eng._brick} "
+              f"lb={eng._lane_batch} dense={eng._dense_cap}",
+              file=sys.stderr)
+        print("[stats]", st, file=sys.stderr)
+        if hist is not None:
+            print("[win_hist]", hist.tolist(), file=sys.stderr)
     counts, _ = eng.get_neighbors(0, 0)
     total_pairs = int(jnp.sum(counts))
 

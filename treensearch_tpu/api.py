@@ -135,10 +135,13 @@ class TreeNSearch:
         self._rec_wide = _kd["rec_wide"]
         self._lane_batch = _kd["lane_batch"]
         self._lane_batch_user = False  # set_lane_batch disables the auto
+        self._brick = tuple(_kd["brick"])
+        self._brick_user = False   # set_brick disables the auto-select
         self._use_carry = True     # temporal-coherence carry in run()
         self._wcap_user = False    # set_window_cap disables the auto-tune
         self._wcap_tuned = False   # one-shot wcap auto-tune from win_hist
         self._dense_snug = False   # one-shot dense-table shrink to domain
+        self._fat_snug = False     # one-shot fat-tier wcap shrink to data
         self._pack_user = False    # set_record_pack disables the heuristic
         self._grid_state: GridState = fresh_state()
         self._fast_carry = None        # FastCarry (temporal coherence)
@@ -350,6 +353,20 @@ class TreeNSearch:
             raise ValueError("tiles_per_step must be 1, 2, 4 or 8")
         self._tps = int(tps)
 
+    def set_brick(self, dims) -> None:
+        """Query-tile layout: ``None``/``()`` = row-aligned tiles,
+        ``(BI, BJ, BK)`` = brick tiles (queries grouped by compact
+        BI x BJ x BK cell bricks; per-query candidate volume drops
+        ~2-3x on dense data — see ops/fastpath.py FastKnobs.brick).
+        Auto-selected from the measured cell occupancy unless set."""
+        if dims is None:
+            dims = ()
+        dims = tuple(int(d) for d in dims)
+        if dims and (len(dims) != 3 or any(d < 1 for d in dims)):
+            raise ValueError("brick dims must be three positive ints")
+        self._brick = dims
+        self._brick_user = True
+
     def set_lane_batch(self, enabled: bool) -> None:
         """Toggle the lane-batched kernel pipeline (one contiguous window
         buffer, one prefix matmul and one compaction network per phase —
@@ -423,7 +440,8 @@ class TreeNSearch:
                          packed_carry=self._packed_carry,
                          phase_prefix=self._phase_prefix,
                          rec_wide=self._rec_wide,
-                         lane_batch=self._lane_batch)
+                         lane_batch=self._lane_batch,
+                         brick=self._brick)
 
     def _execute(self, points, radii, sr, cell, w, chunk, fast):
         """Run one search with overflow-regrow; returns the clean solution."""
@@ -662,9 +680,11 @@ class TreeNSearch:
                 # align so each window is a whole number of 8-sublane
                 # record rows at the chosen pack (wrows = wcap/pack; the
                 # measured-best 1M config is exactly this: pack=16 ->
-                # wcap 256, benchmarks/probe_r5b/c)
+                # wcap 256, benchmarks/probe_r5b/c).  Brick histograms
+                # use 8-slot bins (windows are a few cells long).
+                bin_w = 8 if self._brick else 32
                 align = max(8, 8 * self._pack)
-                tuned = max(64, round_up((idx + 1) * 32, align))
+                tuned = max(32, round_up((idx + 1) * bin_w, align))
                 # compare against the EFFECTIVE cap (_pallas_statics
                 # rounds wcap up to whole record rows): at pack=16 the
                 # 288 default runs as 384, and tuning must judge 384,
@@ -673,6 +693,19 @@ class TreeNSearch:
                 if tuned < eff * 0.88 or tuned > eff:
                     self._wcap = tuned
             self._wcap_tuned = True
+        if not self._fat_snug and "win_max" in sol:
+            # fat-tier cap snug: the default fat_wcap (1024) is sized for
+            # row-tile windows; brick windows are a few cells long, and a
+            # fat tile costs ~fat_wcap/wcap times a narrow tile — size the
+            # fat tier to the MEASURED widest window instead.  Growth on
+            # later overflow still goes through the cand_max regrow.
+            wm = int(sol["win_max"])
+            if wm > 0:
+                align = max(128, 8 * self._pack)
+                snug_fat = round_up(int(wm * 1.25) + self._pack, align)
+                if snug_fat < self._fat_wcap:
+                    self._fat_wcap = snug_fat
+            self._fat_snug = True
         if not self._dense_snug:
             k = np.asarray(state.n_cells).astype(np.int64)
             needed = int((k[0] + 2 * w) * (k[1] + 2 * w) * (k[2] + 2 * w))

@@ -90,6 +90,21 @@ class FastKnobs(NamedTuple):
     #                            phase, one compaction network per block
     #                            (amortizes per-window fixed costs 9x;
     #                            benchmarks/probe_r5a/b)
+    brick: tuple = ()          # v6 BRICK tiles: () = row-aligned tiles,
+    #                            (BI, BJ, BK) = queries grouped by compact
+    #                            cell bricks of BI x BJ x BK cells.  A
+    #                            row tile's queries span ~16 cells of one
+    #                            grid row, so every query pays the whole
+    #                            tile's candidate reach; a brick tile's
+    #                            queries share a compact 3-D neighborhood
+    #                            and the per-query candidate volume drops
+    #                            ~2-3x (the kernel is element-bound after
+    #                            v5 amortized the per-window fixed costs,
+    #                            benchmarks/probe_r5a).  Requires
+    #                            lane_batch; candidates stay in plain
+    #                            sorted order (windows are exact k-runs,
+    #                            no row padding) while queries get their
+    #                            own brick-padded layout.
     skip_stage: int = 0        # DEV ONLY: 1 = no per-window compaction,
     #                            2 = no merge either, 3 = kernel body off,
     #                            4 = + no output init (stage attribution)
@@ -177,12 +192,15 @@ def attach_blocks(sol: dict) -> dict:
     return sol
 
 
-def default_tiles_cap(n: int) -> int:
-    """Static cap on row-aligned 128-slot tiles: every occupied grid row
-    is padded to a multiple of 128, so the tile count is ceil(n/128) plus
-    one partial tile per occupied row; max(256, 25%) slack covers
-    typical row counts and the host regrows on ``tile_overflow``."""
+def default_tiles_cap(n: int, brick: tuple = ()) -> int:
+    """Static cap on 128-slot query tiles: every occupied grid row (or
+    cell brick) is padded to a multiple of 128, so the tile count is
+    ceil(n/128) plus one partial tile per occupied row/brick.  Bricks are
+    sized for ~100 points, so their partial-tile slack is proportionally
+    larger; the host regrows on ``tile_overflow`` either way."""
     base = -(-n // 128)
+    if brick:
+        return base + max(256, (base * 3) // 4)
     return base + max(256, base // 4)
 
 
@@ -278,12 +296,26 @@ def _pallas_statics(cfg: SearchConfig, knobs: FastKnobs) -> dict:
     from .pallas_pairs import TILE as PTILE
     w = cfg.stencil_w
     pack = knobs.pack
+    brick = tuple(knobs.brick)
     tiles_cap = round_up(knobs.tiles_cap if knobs.tiles_cap > 0 else
-                         default_tiles_cap(cfg.n_points), knobs.tps)
+                         default_tiles_cap(cfg.n_points, brick), knobs.tps)
     wcap_r = round_up(knobs.wcap, 8 * pack)
     fat_wcap_r = round_up(knobs.fat_wcap, 8 * pack)
+    if brick:
+        # brick windows: one per (u, v) cell-row offset of the brick's
+        # (BI + 2w) x (BJ + 2w) row neighborhood; the brick's own rows
+        # are the "center" windows (they hold the query's own cell run)
+        BI, BJ, _ = brick
+        offs_2d = [(u, v) for u in range(-w, BI + w)
+                   for v in range(-w, BJ + w)]
+        center_wins = tuple(i for i, (u, v) in enumerate(offs_2d)
+                            if 0 <= u < BI and 0 <= v < BJ)
+    else:
+        offs_2d = [(di, dj) for di in range(-w, w + 1)
+                   for dj in range(-w, w + 1)]
+        center_wins = (len(offs_2d) // 2,)
     return {
-        "w": w, "pack": pack,
+        "w": w, "pack": pack, "brick": brick,
         "wcap": wcap_r,
         "fat_wcap": fat_wcap_r,
         "fat_cap": knobs.fat_cap,
@@ -295,8 +327,15 @@ def _pallas_statics(cfg: SearchConfig, knobs: FastKnobs) -> dict:
         "nt8": -(-(tiles_cap + 1) // 8) * 8,  # +1 dummy: padded fat ids
         "rows_cap": knobs.rows_cap if knobs.rows_cap > 0 else
                     max(1 << 14, knobs.dense_cap >> 3),
-        "offs_2d": [(di, dj) for di in range(-w, w + 1)
-                    for dj in range(-w, w + 1)],
+        # brick candidates live in PLAIN sorted order (windows are exact
+        # k-runs; only queries get a padded layout): static record rows
+        # for that array, with the same overread slack
+        "cand_slots": round_up(cfg.n_points, PTILE),
+        # window-length histogram bin width: brick windows are a few
+        # cells long, row-tile windows a whole tile's k-extent
+        "hist_bin": 8 if brick else 32,
+        "offs_2d": offs_2d,
+        "center_wins": center_wins,
         "cand_sets": tuple(sorted({sj for (_, sj) in cfg.active_pairs})),
     }
 
@@ -314,7 +353,9 @@ def make_fast_carry0(cfg: SearchConfig, knobs: FastKnobs) -> FastCarry:
         valid=jnp.zeros((), jnp.bool_),
         lin_s=z((n,)), lin_chk=z((n,)),
         r_chk=jnp.zeros((n if cfg.variable else 0,), jnp.float32),
-        idx_s=z((n,)), inv_perm=z((n,)), pp=z((n,)), qpos=z((n,)),
+        idx_s=z((n,)),
+        inv_perm=z((0 if st["brick"] else n,)),
+        pp=z((n,)), qpos=z((n,)),
         opad=z((st["NPAD"] + st["slack"],)),
         desc=z((st["nt8"], DESC_W)),
         fat_ids=z((st["fat_cap"],)), fat_slot=z((st["tiles_cap"],)),
@@ -369,6 +410,10 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     from .pallas_pairs import DESC_W, FAT_COL, LENS_OFF, TILE as PTILE
 
     st = _pallas_statics(cfg, knobs)
+    if st["brick"]:
+        assert valid is None and owned_rng is None and lin_base is None, \
+            "brick layout does not serve the sharded path yet"
+        return _pallas_prep_brick(points, radii, state, cfg, knobs, st)
     n = cfg.n_points
     w, pack = st["w"], st["pack"]
     wcap, fat_wcap, fat_cap = st["wcap"], st["fat_wcap"], st["fat_cap"]
@@ -543,6 +588,10 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
 
     n_win = len(offs_2d)
     fat_col = fat_mask.astype(jnp.int32)
+    # padding tiles past the real layout (has = 0) skip BOTH tiers: they
+    # otherwise burn a full tile of DMA + mask work on all-zero windows
+    # (tiles_cap - occupied is ~15-30% of the grid)
+    fat_col = jnp.where(has > 0, fat_col, 2)
     if owned_rng is not None:
         # 2 = skip in BOTH tiers (narrow runs only on 0; the fat tier's
         # id list excludes these because their lens were zeroed above)
@@ -579,8 +628,219 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         n_cells_stat=n_cells_stat, win_hist=win_hist)
 
 
+def _pallas_prep_brick(points: jnp.ndarray, radii: Optional[jnp.ndarray],
+                       state: GridState, cfg: SearchConfig,
+                       knobs: FastKnobs, st: dict) -> FastCarry:
+    """Brick-tile layout prep (v6).
+
+    Queries are grouped by compact BI x BJ x BK cell BRICKS instead of
+    whole grid rows: a brick's <= ~128 points share a (BI+2w) x (BJ+2w)
+    x (BK+2w)-cell joint neighborhood, so the kernel's per-query
+    candidate volume drops ~2-3x vs row tiles (whose queries span a
+    whole 128-slot k-extent).  The reference reaches the same locality
+    through its ghost-cell octree leaves (``TreeNSearch.cpp:1197-1822``);
+    here the leaf is a fixed cell brick and the "ghost" halo is the
+    window k-extension, with exactness still carried purely by
+    ``d^2 <= r^2`` over disjoint per-row windows.
+
+    Two layouts coexist:
+      - CANDIDATES stay in plain lin-sorted order (no padding): each
+        window is an exact k-run ``[table[row*dz + klo],
+        table[row*dz + khi + 1])`` of one grid row — query tiles no
+        longer need to align with candidate slots, so the row padding
+        of the row-tile scheme disappears entirely;
+      - QUERIES get a brick-major padded layout (every occupied brick
+        padded to a multiple of 128 slots), built by one extra stable
+        key sort of the brick ids.
+
+    ``opad``/``qpos``/``pp`` keep their carry roles with "padded slot"
+    meaning the QUERY layout; ``inv_perm`` (a test-only map) is empty.
+    """
+    from .pallas_pairs import DESC_W, FAT_COL, LENS_OFF, TILE as PTILE
+
+    n = cfg.n_points
+    w, pack = st["w"], st["pack"]
+    BI, BJ, BK = st["brick"]
+    wcap, fat_wcap, fat_cap = st["wcap"], st["fat_wcap"], st["fat_cap"]
+    tiles_cap, NPAD, nt8 = st["tiles_cap"], st["NPAD"], st["nt8"]
+    bricks_cap = st["rows_cap"]
+    offs_2d = st["offs_2d"]
+    dense_cap = knobs.dense_cap
+
+    kx, ky, kz = state.n_cells[0], state.n_cells[1], state.n_cells[2]
+    dx, dy, dz = kx + 2 * w, ky + 2 * w, kz + 2 * w
+    lin, _, _, inv_cell = _padded_lin(points, state, cfg, knobs)
+    dense_size_f = (dx.astype(jnp.float32) * dy.astype(jnp.float32)
+                    * dz.astype(jnp.float32))
+    dense_overflow = (dense_size_f
+                      > jnp.float32(dense_cap - 1)).astype(jnp.int32)
+    iota = jnp.arange(n, dtype=jnp.int32)
+    lin_s, idx_s = jax.lax.sort((lin, iota), num_keys=1, is_stable=True)
+    r_s = radii[idx_s] if cfg.variable else jnp.zeros((0,), jnp.float32)
+
+    hist = jnp.zeros((dense_cap + 1,), jnp.int32).at[lin_s + 1].add(1)
+    table = _blocked_cumsum(hist)
+
+    # ---- brick ids + brick-major query order -----------------------------
+    nbx = -(-dx // BI)
+    nby = -(-dy // BJ)
+    nbz = -(-dz // BK)
+    n_bricks = nbx * nby * nbz
+    rows_overflow = (jnp.maximum(n_bricks, dx * dy) + 1
+                     > bricks_cap).astype(jnp.int32)
+    dydz = dy * dz
+    i_s = lin_s // dydz
+    rem = lin_s - i_s * dydz
+    j_s = rem // dz
+    k_s = rem - j_s * dz
+    b_s = jnp.minimum((i_s // BI) * (nby * nbz) + (j_s // BJ) * nbz
+                      + k_s // BK, bricks_cap - 1)
+    # stable sort by brick id keeps lin order within each brick
+    if n > 0:
+        b_ss, oidx_q = jax.lax.sort((b_s, idx_s), num_keys=1,
+                                    is_stable=True)
+    else:
+        b_ss, oidx_q = b_s, idx_s
+
+    bhist = jnp.zeros((bricks_cap + 1,), jnp.int32).at[b_ss + 1].add(1)
+    bstarts = _blocked_cumsum(bhist)
+    blen = bstarts[1:] - bstarts[:-1]
+    bpads = (-blen) % PTILE
+    pads_inc = _blocked_cumsum(bpads)
+    pads_exc = pads_inc - bpads
+    npad_total = n + pads_inc[-1]
+    tile_overflow = (npad_total > NPAD).astype(jnp.int32)
+
+    # ---- tile -> brick (same scatter-max + cummax as the row scheme) -----
+    pstart = bstarts[:-1] + pads_exc
+    t0 = jnp.arange(tiles_cap, dtype=jnp.int32) * PTILE
+    tb0 = jnp.zeros((tiles_cap,), jnp.int32).at[pstart // PTILE].max(
+        jnp.arange(bricks_cap, dtype=jnp.int32), mode="drop")
+    tb = _blocked_cummax(tb0)
+    off_t = t0 - pstart[tb]
+    cnt_t = jnp.clip(blen[tb] - off_t, 0, PTILE)
+    has = (cnt_t > 0).astype(jnp.int32)
+    a_t = jnp.clip(bstarts[:-1][tb] + off_t, 0, jnp.maximum(n - 1, 0))
+
+    # ---- padded query slot -> ORIGINAL point (brick-major) --------------
+    lane_i = jnp.arange(PTILE, dtype=jnp.int32)[None, :]
+    g_idx = jnp.minimum(a_t[:, None] + lane_i, jnp.maximum(n - 1, 0))
+    lane_ok = lane_i < cnt_t[:, None]
+    o_tiles = jnp.where(lane_ok, oidx_q[g_idx] if n > 0 else n, n)
+    opad = jnp.concatenate([o_tiles.reshape(-1),
+                            jnp.full((st["slack"],), n, jnp.int32)])
+
+    # ---- original -> padded query slot (one key sort, not a scatter) ----
+    if n > 0:
+        qslot = jnp.minimum(iota + pads_exc[b_ss], NPAD - 1)
+        _, qpos_map = jax.lax.sort((oidx_q, qslot), num_keys=1,
+                                   is_stable=False)
+        pp = qslot
+    else:
+        qpos_map = pp = jnp.zeros((0,), jnp.int32)
+
+    # ---- local stencil reach (variable mode) -----------------------------
+    if cfg.variable:
+        rid = jnp.minimum(lin_s // dz, bricks_cap - 1)
+        row_rmax = jnp.zeros((bricks_cap,), jnp.float32).at[rid].max(r_s)
+        r_tile = jnp.where(
+            lane_ok,
+            radii[jnp.minimum(o_tiles, jnp.maximum(n - 1, 0))]
+            if n > 0 else 0.0, 0.0)
+        tile_rmax = jnp.max(r_tile, axis=1)
+
+    # ---- per-tile brick coords ------------------------------------------
+    bx = tb // (nby * nbz)
+    rem2 = tb - bx * (nby * nbz)
+    by = rem2 // nbz
+    bz = rem2 - by * nbz
+    i0 = bx * BI
+    j0 = by * BJ
+    kb0 = bz * BK
+    kb1 = kb0 + (BK - 1)
+
+    # ---- window descriptors: one k-run per (u, v) brick-row offset ------
+    starts_l, lens_l = [], []
+    for (u, v) in offs_2d:
+        ip = i0 + u
+        jp = j0 + v
+        in_dom = ((ip >= 0) & (ip < dx) & (jp >= 0) & (jp < dy))
+        row = jnp.clip(ip * dy + jp, 0, jnp.maximum(dx * dy - 1, 0))
+        base = jnp.minimum(row * dz, dense_cap)
+        if cfg.variable:
+            reach = jnp.maximum(tile_rmax,
+                                row_rmax[jnp.minimum(row, bricks_cap - 1)])
+            w0 = jnp.floor(reach * inv_cell).astype(jnp.int32)
+            wk = jnp.clip(
+                jnp.where(w0.astype(jnp.float32) * state.cell_size
+                          >= reach, w0, w0 + 1),
+                1, w)
+            # cell distance from the brick's own row range to this row
+            du = max(-u, u - (BI - 1), 0)
+            dv = max(-v, v - (BJ - 1), 0)
+            ok = (in_dom & (max(du, dv) <= wk)).astype(jnp.int32)
+        else:
+            ok, wk = in_dom.astype(jnp.int32), w
+        # k-extension clipped at the row's own k range so a window can
+        # never reach into an adjacent row's slots (brick k bounds are
+        # static, unlike the occupancy-derived k0/k1 of the row scheme)
+        klo = jnp.maximum(kb0 - wk, 0)
+        khi = jnp.minimum(kb1 + wk, dz - 1)
+        s = table[jnp.clip(base + klo, 0, dense_cap)]
+        e = table[jnp.clip(base + khi + 1, 0, dense_cap)]
+        lens_l.append(jnp.maximum(e - s, 0) * has * ok)
+        # starts index PLAIN sorted order (no candidate padding)
+        starts_l.append(jnp.clip(s, 0, st["cand_slots"]))
+    starts = jnp.stack(starts_l, axis=1)
+    lens = jnp.stack(lens_l, axis=1)
+    win_max = jnp.max(lens)
+    # histogram of per-TILE MAX window length: the fat routing spills a
+    # tile when ANY of its (BI+2w)(BJ+2w) windows exceeds the cap, so the
+    # wcap auto-tune must cover the p95 of the tile-max, not of single
+    # windows (the window-p95 undersizes by the max-of-16 shift and sent
+    # ~half the tiles to the fat tier: bench_r6_b223_p8.out, 163 ms)
+    tile_wmax = jnp.max(lens, axis=1)
+    win_hist = jnp.zeros((64,), jnp.int32).at[
+        jnp.clip(tile_wmax // st["hist_bin"], 0, 63)].add(
+        (tile_wmax > 0).astype(jnp.int32))
+
+    # ---- fat tier routing (identical to the row scheme) ------------------
+    fat_mask = jnp.max(lens, axis=1) > (wcap - (pack - 1))
+    n_fat = jnp.sum(fat_mask.astype(jnp.int32))
+    fat_overflow = (n_fat > fat_cap) | (win_max > fat_wcap - (pack - 1))
+    rank = jnp.cumsum(fat_mask.astype(jnp.int32))
+    tile_ids = jnp.arange(tiles_cap, dtype=jnp.int32)
+    fat_ids = jnp.full((fat_cap,), tiles_cap, jnp.int32).at[
+        jnp.where(fat_mask & (rank <= fat_cap), rank - 1, fat_cap)
+    ].set(tile_ids, mode="drop")
+    fat_slot = jnp.where(fat_mask & (rank <= fat_cap), rank - 1, -1)
+
+    n_win = len(offs_2d)
+    desc = jnp.zeros((nt8, DESC_W), jnp.int32)
+    desc = desc.at[:tiles_cap, :n_win].set(starts)
+    desc = desc.at[:tiles_cap, LENS_OFF:LENS_OFF + n_win].set(lens)
+    fat_col = jnp.where(has > 0, fat_mask.astype(jnp.int32), 2)
+    desc = desc.at[:tiles_cap, FAT_COL].set(fat_col)
+
+    if n > 1:
+        n_cells_stat = 1 + jnp.sum(lin_s[1:] != lin_s[:-1])
+    else:
+        n_cells_stat = jnp.asarray(n, jnp.int32)
+
+    return FastCarry(
+        valid=jnp.ones((), jnp.bool_), lin_s=lin_s, lin_chk=lin,
+        r_chk=r_s,
+        idx_s=idx_s, inv_perm=jnp.zeros((0,), jnp.int32), pp=pp,
+        qpos=qpos_map, opad=opad,
+        desc=desc, fat_ids=fat_ids, fat_slot=fat_slot,
+        dense_overflow=dense_overflow, tile_overflow=tile_overflow,
+        rows_overflow=rows_overflow,
+        fat_overflow=fat_overflow.astype(jnp.int32), win_max=win_max,
+        n_cells_stat=n_cells_stat, win_hist=win_hist)
+
+
 def _build_records(rec8x: jnp.ndarray, opad: jnp.ndarray, lpp: int,
-                   rec_wide: bool) -> tuple:
+                   rec_wide: bool, cand_map: jnp.ndarray = None) -> tuple:
     """Padded record arrays from the (n+1, N_FIELDS) record columns and the
     carried padded-slot -> original-index map.
 
@@ -597,8 +857,20 @@ def _build_records(rec8x: jnp.ndarray, opad: jnp.ndarray, lpp: int,
 
     Both produce bit-identical arrays (tests/test_pallas.py); which is
     faster is a hardware question (benchmarks/probe_r4c.py).
+
+    ``cand_map`` (brick layout): candidates live in a DIFFERENT order
+    than queries — queries gather through ``opad`` (brick-major padded),
+    candidates through ``cand_map`` (plain sorted order + sentinel tail).
     """
     from .pallas_pairs import N_FIELDS
+    if cand_map is not None:
+        q_t = rec8x[opad].T                     # queries: brick-major
+        recc = rec8x[cand_map]                  # candidates: sorted order
+        recc = jax.lax.optimization_barrier(recc)
+        rec_pad = jnp.pad(
+            recc, ((0, 0), (0, lpp - N_FIELDS))).reshape(-1, 128) \
+            if lpp > N_FIELDS else recc.reshape(-1, 128)
+        return q_t, rec_pad
     if rec_wide and lpp > N_FIELDS:
         rec_w = jnp.pad(rec8x, ((0, 0), (0, lpp - N_FIELDS)))
         recp = rec_w[opad]                      # (NPAD+slack, lpp)
@@ -714,21 +986,29 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     lpp = 128 // pack
     rec8x = jnp.concatenate([rec8, sent[None]])
     # padded slot -> original point index is carried pre-composed (opad),
-    # so the record build is ONE row gather
-    q_t, rec_pad = _build_records(rec8x, carry.opad, lpp, knobs.rec_wide)
+    # so the record build is ONE row gather (brick mode: one per layout —
+    # queries brick-major via opad, candidates plain sorted via idx_s)
+    if st["brick"]:
+        cand_map = jnp.concatenate([
+            idx_s, jnp.full((st["cand_slots"] - n + st["slack"],), n,
+                            jnp.int32)])
+    else:
+        cand_map = None
+    q_t, rec_pad = _build_records(rec8x, carry.opad, lpp, knobs.rec_wide,
+                                  cand_map=cand_map)
 
     params = jnp.zeros((8, DESC_W), jnp.float32).at[0, 0].set(r2_fixed)
 
-    # asymmetric per-window staging: the center (di=dj=0) window holds
-    # each query's own cell column (most survivors); edges need less
+    # asymmetric per-window staging: the center windows (the query's own
+    # cell rows) hold the most survivors; edges need less
     pre_c = min(round_up(knobs.pre_cap, 8), max(k8s))
     pre_e = min(round_up(knobs.pre_edge, 8), pre_c)
-    center_win = n_win // 2
-    pre_caps = tuple(pre_c if i == center_win else pre_e
+    center_wins = st["center_wins"]
+    pre_caps = tuple(pre_c if i in center_wins else pre_e
                      for i in range(n_win))
     kargs = dict(variable=cfg.variable, symmetric=cfg.symmetric,
                  cand_sets=cand_sets, cand_offsets=cand_offsets,
-                 multi_set=multi_set, center_win=center_win,
+                 multi_set=multi_set, center_wins=center_wins,
                  interpret=knobs.interpret, pack=pack,
                  skip_stage=knobs.skip_stage,
                  # raw mode (sharded) carries GLOBAL ids whose bound the
@@ -870,6 +1150,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         "tile_overflow": carry.tile_overflow,
         "rows_overflow": carry.rows_overflow,
         "win_hist": carry.win_hist,
+        "win_max": carry.win_max,
     }
 
 
@@ -878,6 +1159,13 @@ def _pallas_applicable(cfg: SearchConfig, knobs: FastKnobs) -> bool:
     record array within the memory budget (512/pack bytes per point) and
     a stencil the descriptor layout supports."""
     cand_sets = {sj for (_, sj) in cfg.active_pairs}
+    if knobs.brick:
+        BI, BJ, _ = knobs.brick
+        w = cfg.stencil_w
+        # descriptor row budget: starts in cols [0, n_win), lens in
+        # [LENS_OFF, LENS_OFF + n_win), FAT_COL at 127 -> n_win <= 49
+        if (BI + 2 * w) * (BJ + 2 * w) > 49:
+            return False
     return (knobs.use_pallas and 1 <= len(cand_sets) <= 8
             and cfg.n_points <= (1 << 22) * knobs.pack
             and cfg.stencil_w <= 3)
@@ -967,7 +1255,9 @@ def build_and_search_fast(points: jnp.ndarray,
     # provably disjoint — the r1 two-subwindow scheme and its ``straddle``
     # host fallback are gone (VERDICT r3 item 7); windows wider than wcap
     # surface through ``cand_max`` and the host regrows wcap.
-    knobs1 = knobs._replace(pack=1)   # no record packing outside Mosaic
+    # no record packing outside Mosaic; row layout (the XLA loop keeps
+    # the v3 single-row tile geometry)
+    knobs1 = knobs._replace(pack=1, brick=())
     carry = _pallas_prep(points, radii, state, cfg, knobs1)
     sol = _xla_tile_search(points, radii, search_radius, state, carry,
                            cfg, knobs1)
@@ -1128,6 +1418,7 @@ def _xla_tile_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         "tile_overflow": carry.tile_overflow,
         "rows_overflow": carry.rows_overflow,
         "win_hist": carry.win_hist,
+        "win_max": carry.win_max,
     }
 
 

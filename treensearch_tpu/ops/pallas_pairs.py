@@ -197,7 +197,7 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
 def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     variable: bool, symmetric: bool,
                     cand_sets=(0,), cand_offsets=(0,),
-                    multi_set: bool = False, center_win: int = None,
+                    multi_set: bool = False, center_wins: tuple = None,
                     fat_tier: bool = False, interpret: bool = False,
                     pack: int = 1, skip_stage: int = 0,
                     val_bound: int = 1 << 30, tiles_per_step: int = 1,
@@ -251,8 +251,9 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
     pre_caps = tuple(min(pc, wcap) for pc in pre_caps)
     assert len(pre_caps) == n_win and all(pc % 8 == 0 and pc > 0
                                           for pc in pre_caps)
-    if center_win is None:
-        center_win = n_win // 2
+    if center_wins is None:
+        center_wins = (n_win // 2,)
+    center_wins = tuple(center_wins)
     pc_off = [0]
     for pc in pre_caps:
         pc_off.append(pc_off[-1] + pc)
@@ -356,7 +357,7 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                                 crit = d2 <= r2_fixed
                             off = sub_c * pack + (f - phase0)
                             pm = crit & ((off >= 0) & (off < ln))
-                            if w == center_win:
+                            if w in center_wins:
                                 pm = pm & (wo != q_orig)
                             outc[0:wrows, :] = (outc[0:wrows, :]
                                                 + pm.astype(jnp.int32))
@@ -414,7 +415,9 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                                        ln_vec)
                     ph_vec = jnp.where(sel, desc_ref[row, w] % pack,
                                        ph_vec)
-                not_center = wid != center_win
+                not_center = wid != center_wins[0]
+                for cw in center_wins[1:]:
+                    not_center = not_center & (wid != cw)
                 ones_t = jnp.ones((1, TILE), jnp.int32)
 
                 pm_ph, vo_ph, ws_ph = [], [], []
@@ -491,11 +494,14 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     cb = co + b % 8
                     cref[cb:cb + 1, :] = cref[cb:cb + 1, :] + cnt
                     # center/edge pre-cap regrow signals (shared rows)
-                    c_sig = wsum_w[:, center_win * TILE:
-                                   (center_win + 1) * TILE]
+                    c_sig = wsum_w[:, center_wins[0] * TILE:
+                                   (center_wins[0] + 1) * TILE]
+                    for cw in center_wins[1:]:
+                        c_sig = jnp.maximum(
+                            c_sig, wsum_w[:, cw * TILE:(cw + 1) * TILE])
                     e_sig = jnp.zeros((1, TILE), jnp.int32)
                     for w in range(n_win):
-                        if w == center_win:
+                        if w in center_wins:
                             continue
                         e_sig = jnp.maximum(
                             e_sig, wsum_w[:, w * TILE:(w + 1) * TILE])
@@ -555,7 +561,7 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
             def _emit(w, masks, all_ws, mask_geo, wo_b):
                 """Per-block counts, regrow signals and staged compaction
                 for one window, given its geometry mask(s)."""
-                surv_row = 1 if w == center_win else 2
+                surv_row = 1 if w in center_wins else 2
                 for b in range(n_blocks):
                     if multi_set:
                         pms = [mf & (wf == cand_sets[b])
@@ -661,9 +667,9 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                         # s*pack + f - phase0 in [0, ln)  (lane-invariant)
                         off = sub_c * pack + (f - phase0)
                         pm = crit & ((off >= 0) & (off < ln))
-                        if w == center_win:
+                        if w in center_wins:
                             # the query's own record can only appear in
-                            # the center window of its own tile (other
+                            # the center windows of its own tile (other
                             # windows are different grid rows); sentinel-
                             # sentinel pairs fail on NaN coords everywhere
                             pm = pm & (wo != q_orig)
