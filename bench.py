@@ -68,6 +68,8 @@ def main():
     if "BENCH_PRE" in os.environ:     # "center,edge"
         c, e = os.environ["BENCH_PRE"].split(",")
         eng.set_prestage_caps(int(c), int(e))
+    if "BENCH_REXP" in os.environ:    # expand-kernel record build
+        eng._rec_expand = bool(int(os.environ["BENCH_REXP"]))
 
     # z-order once (SPH practice), settle the padding caps, warm the cache
     eng.prepare_zsort()

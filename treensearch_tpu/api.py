@@ -30,6 +30,8 @@ Differences by design (TPU-first, documented for reference users):
 from __future__ import annotations
 
 import math
+import os
+import sys
 from typing import Callable, List, Optional, Sequence
 
 import jax
@@ -142,6 +144,12 @@ class TreeNSearch:
         self._wcap_tuned = False   # one-shot wcap auto-tune from win_hist
         self._dense_snug = False   # one-shot dense-table shrink to domain
         self._fat_snug = False     # one-shot fat-tier wcap shrink to data
+        self._tiles_snug = False   # one-shot tile-slot shrink to the
+        #                            measured layout (the 25% default
+        #                            slack rides every per-slot gather)
+        self._tiles_auto = False   # tiles_cap was auto-sized (snug ok)
+        self._shared_compact = _kd["shared_compact"]
+        self._rec_expand = _kd["rec_expand"]
         self._pack_user = False    # set_record_pack disables the heuristic
         self._grid_state: GridState = fresh_state()
         self._fast_carry = None        # FastCarry (temporal coherence)
@@ -441,6 +449,8 @@ class TreeNSearch:
                          phase_prefix=self._phase_prefix,
                          rec_wide=self._rec_wide,
                          lane_batch=self._lane_batch,
+                         shared_compact=self._shared_compact,
+                         rec_expand=self._rec_expand,
                          brick=self._brick)
 
     def _execute(self, points, radii, sr, cell, w, chunk, fast):
@@ -463,6 +473,7 @@ class TreeNSearch:
         if self._tiles_cap is None:
             self._tiles_cap = default_tiles_cap(
                 max(self.get_total_n_points(), 1))
+            self._tiles_auto = True
         for _ in range(_MAX_GROW_ROUNDS):
             cfg = self._make_cfg(chunk, w)
             if self._mesh is not None:
@@ -713,6 +724,24 @@ class TreeNSearch:
             if snug < self._dense_cap:
                 self._dense_cap = snug
             self._dense_snug = True
+        if not self._tiles_snug and self._tiles_auto \
+                and self._mesh is None and "tiles_used" in sol:
+            # (sharded runs skip this: owned-slab filtering marks
+            # interior tiles dead, so used tiles are not a suffix there)
+            # tile-slot snug: the auto default carries ~25% slack, and
+            # every per-slot cost (the padded record gather, the kernel
+            # grid, the routing scans) is proportional to the static cap.
+            # 4% + 32 headroom absorbs occupancy drift between steps; a
+            # real overflow still regrows through tile_overflow.
+            used = int(sol["tiles_used"])
+            if os.environ.get("BENCH_VERBOSE"):
+                print(f"[tune] tiles_used={used} cap={self._tiles_cap}",
+                      file=sys.stderr)
+            if used > 0:
+                snug = round_up(int(used * 1.04) + 32, max(8, self._tps))
+                if snug < self._tiles_cap:
+                    self._tiles_cap = snug
+            self._tiles_snug = True
 
     # ------------------------------------------------------------- queries
     def get_neighborlist(self, set_i: int, set_j: int, i: int) -> NeighborList:

@@ -90,6 +90,22 @@ class FastKnobs(NamedTuple):
     #                            phase, one compaction network per block
     #                            (amortizes per-window fixed costs 9x;
     #                            benchmarks/probe_r5a/b)
+    rec_expand: bool = False   # build rec_pad/q_t by the expand KERNEL
+    #                            (contiguous DMA copies from sort-carried
+    #                            records) instead of the (NPAD, 8) row
+    #                            gather + transpose — the gathers cost
+    #                            ~22.6 ms at 1M / ~220 ms at 10M
+    #                            (benchmarks/probe_r7a.out P3+S5).
+    shared_compact: bool = True  # multi-set lane_batch: ONE combined
+    #                            staging compaction over all candidate
+    #                            sets (packed set|orig values) + cheap
+    #                            per-block extraction from the staged
+    #                            buffer, instead of a full-volume network
+    #                            per block — the dominant kernel term at
+    #                            10M x 3 sets.  Auto-disabled when the
+    #                            packed int32 encoding cannot hold
+    #                            (n_sets, n_points) or in raw/sharded
+    #                            mode (global indices of unknown bound).
     brick: tuple = ()          # v6 BRICK tiles: () = row-aligned tiles,
     #                            (BI, BJ, BK) = queries grouped by compact
     #                            cell bricks of BI x BJ x BK cells.  A
@@ -356,7 +372,8 @@ def make_fast_carry0(cfg: SearchConfig, knobs: FastKnobs) -> FastCarry:
         idx_s=z((n,)),
         inv_perm=z((0 if st["brick"] else n,)),
         pp=z((n,)), qpos=z((n,)),
-        opad=z((st["NPAD"] + st["slack"],)),
+        opad=z((0,) if knobs.rec_expand and not st["brick"]
+               else (st["NPAD"] + st["slack"],)),
         desc=z((st["nt8"], DESC_W)),
         fat_ids=z((st["fat_cap"],)), fat_slot=z((st["tiles_cap"],)),
         dense_overflow=z(()), tile_overflow=z(()), rows_overflow=z(()),
@@ -462,7 +479,15 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     pads_exc = pads_inc - row_pads
     npad_total = n + pads_inc[-1]
     tile_overflow = (npad_total > NPAD).astype(jnp.int32)
-    pp = jnp.minimum(iota + pads_exc[rid], NPAD - 1)  # padded slot
+    # per-point padding offset pads_exc[rid] WITHOUT the 1M-element
+    # gather (~7 ms at 1M, benchmarks/probe_r7a.out P2): scatter each
+    # row's pad increment at the row's first sorted point and cumsum —
+    # empty rows' increments stack on the same position (scatter-add).
+    pad_step = jnp.zeros((n + 1,), jnp.int32).at[
+        jnp.minimum(row_starts[:-1], n)].add(
+        jnp.concatenate([jnp.zeros((1,), jnp.int32), row_pads[:-1]]))
+    pexc_pt = _blocked_cumsum(pad_step[:n]) if n > 0 else pad_step[:0]
+    pp = jnp.minimum(iota + pexc_pt, NPAD - 1)  # padded slot
 
     # ---- per-tile row/k extents -----------------------------------------
     # a tile lies in ONE grid row and ``lin_s`` is sorted, so the tile's
@@ -505,9 +530,16 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     lane_i = jnp.arange(PTILE, dtype=jnp.int32)[None, :]
     g_idx = jnp.minimum(a_t[:, None] + lane_i, jnp.maximum(n - 1, 0))
     lane_ok = lane_i < cnt_t[:, None]
-    o_tiles = jnp.where(lane_ok, idx_s[g_idx] if n > 0 else n, n)
-    opad = jnp.concatenate([o_tiles.reshape(-1),
-                            jnp.full((st["slack"],), n, jnp.int32)])
+    if knobs.rec_expand:
+        # the expand kernel builds the padded layout by DMA copies; the
+        # composed padded-slot -> original map (an 8.8 ms gather at 1M)
+        # is not needed (the search derives orig fields from the padded
+        # records themselves)
+        opad = jnp.zeros((0,), jnp.int32)
+    else:
+        o_tiles = jnp.where(lane_ok, idx_s[g_idx] if n > 0 else n, n)
+        opad = jnp.concatenate([o_tiles.reshape(-1),
+                                jnp.full((st["slack"],), n, jnp.int32)])
 
     # ---- local stencil reach (variable mode) ----------------------------
     # the static stencil W = ceil(r_max_global/cell) bounds the
@@ -596,9 +628,14 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         # 2 = skip in BOTH tiers (narrow runs only on 0; the fat tier's
         # id list excludes these because their lens were zeroed above)
         fat_col = jnp.where(is_q, fat_col, 2)
+    from .pallas_pairs import A_COL, CNT_COL
     desc = jnp.zeros((nt8, DESC_W), jnp.int32)
     desc = desc.at[:tiles_cap, :n_win].set(starts)
     desc = desc.at[:tiles_cap, LENS_OFF:LENS_OFF + n_win].set(lens)
+    # the record-expand kernel's per-tile source range (sorted start and
+    # real count; ops/pallas_pairs.make_expand_call)
+    desc = desc.at[:tiles_cap, A_COL].set(a_t)
+    desc = desc.at[:tiles_cap, CNT_COL].set(cnt_t)
     desc = desc.at[:tiles_cap, FAT_COL].set(fat_col)
 
     # ---- carried maps ---------------------------------------------------
@@ -994,8 +1031,54 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                             jnp.int32)])
     else:
         cand_map = None
-    q_t, rec_pad = _build_records(rec8x, carry.opad, lpp, knobs.rec_wide,
-                                  cand_map=cand_map)
+    if knobs.rec_expand and not st["brick"] and not raw and n > 0:
+        # EXPAND-KERNEL record build (see make_expand_call): the fields
+        # ride the SORT as payloads (stable sort on the same keys
+        # reproduces the carried permutation bit-for-bit, so this works
+        # identically on carry-reuse steps via the stored lin_chk), the
+        # sorted packed records are interleaved once, and the padded
+        # layout + query tiles are produced by contiguous DMA copies at
+        # copy bandwidth instead of the (NPAD, 8) row gather + the opad
+        # index gather (~22.6 ms/step at 1M, ~10x that at 10M).
+        from .pallas_pairs import make_expand_call
+        ops_l = [carry.lin_chk, _asbits(points[:, 0]),
+                 _asbits(points[:, 1]), _asbits(points[:, 2]), orig_o]
+        if cfg.variable:
+            ops_l.append(_asbits(rfield))
+        if cfg.n_sets > 1:
+            ops_l.append(set_id_o)
+        sorted_ = jax.lax.sort(tuple(ops_l), num_keys=1, is_stable=True)
+        xs, ys, zs, os_ = sorted_[1], sorted_[2], sorted_[3], sorted_[4]
+        k = 5
+        if cfg.variable:
+            rs_ = sorted_[k]
+            k += 1
+        else:
+            rs_ = jnp.zeros((n,), jnp.int32)
+        ss_ = sorted_[k] if cfg.n_sets > 1 else jnp.zeros((n,), jnp.int32)
+        z0 = jnp.zeros((n,), jnp.int32)
+        cols = jnp.stack([xs, ys, zs, rs_, os_, ss_, z0, z0], axis=1)
+        if lpp > N_FIELDS:
+            cols = jnp.pad(cols, ((0, 0), (0, lpp - N_FIELDS)))
+        rpt = 128 // pack
+        n_rows_src = -(-n // pack) + rpt + 4
+        pad_pts = n_rows_src * pack - n
+        sent_l = jnp.pad(sent, (0, lpp - N_FIELDS)) if lpp > N_FIELDS \
+            else sent
+        recs = jnp.concatenate(
+            [cols, jnp.broadcast_to(sent_l[None], (pad_pts, lpp))]
+        ).reshape(n_rows_src, 128)
+        recsT = jnp.concatenate(
+            [jnp.stack([xs, ys, zs, rs_, os_, ss_, z0, z0], axis=0),
+             jnp.broadcast_to(sent[:, None], (N_FIELDS, 384))], axis=1)
+        expand = make_expand_call(
+            tiles_cap, tiles_cap, pack,
+            sentinel_orig if sentinel_orig is not None else n,
+            interpret=knobs.interpret, slack_tiles=st["slack"] // 128)
+        rec_pad, q_t = expand(carry.desc, recs, recsT)
+    else:
+        q_t, rec_pad = _build_records(rec8x, carry.opad, lpp,
+                                      knobs.rec_wide, cand_map=cand_map)
 
     params = jnp.zeros((8, DESC_W), jnp.float32).at[0, 0].set(r2_fixed)
 
@@ -1006,9 +1089,19 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     center_wins = st["center_wins"]
     pre_caps = tuple(pre_c if i in center_wins else pre_e
                      for i in range(n_win))
+    # shared-compaction gate: packed (set_id << orig_bits | orig) must fit
+    # int32 for every set id that can appear in a window (all n_sets, not
+    # just candidate sets) and every orig (incl. the sentinel n); raw mode
+    # carries global indices whose bound the local cfg does not know
+    orig_bits = int(n + 1).bit_length()
+    shared = (knobs.shared_compact and knobs.lane_batch and multi_set
+              and len(cand_sets) > 1 and not raw
+              and ((cfg.n_sets - 1) << orig_bits) + n + 1 < 2 ** 31 - 1)
     kargs = dict(variable=cfg.variable, symmetric=cfg.symmetric,
                  cand_sets=cand_sets, cand_offsets=cand_offsets,
                  multi_set=multi_set, center_wins=center_wins,
+                 shared_blocks=shared, orig_bits=orig_bits,
+                 n_sets_total=cfg.n_sets,
                  interpret=knobs.interpret, pack=pack,
                  skip_stage=knobs.skip_stage,
                  # raw mode (sharded) carries GLOBAL ids whose bound the
@@ -1083,6 +1176,11 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                              jnp.max(outs_f[sc // 8][(sc % 8)::8]))
     pre_surv_e = jnp.maximum(jnp.max(outs_n[se // 8][(se % 8)::8]),
                              jnp.max(outs_f[se // 8][(se % 8)::8]))
+    # occupied tile count (dead tiles carry FAT_COL = 2 and are always a
+    # suffix of the layout): drives the host's one-shot tiles_cap snug
+    from .pallas_pairs import FAT_COL as _FC
+    tiles_used = jnp.sum(
+        (carry.desc[:tiles_cap, _FC] != 2).astype(jnp.int32))
     if raw:
         return {
             "blocks": blk,
@@ -1096,6 +1194,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
             "pre_surv_edge_max": pre_surv_e,
             "tile_overflow": carry.tile_overflow,
             "rows_overflow": carry.rows_overflow,
+            "tiles_used": tiles_used,
         }
     # per-SET query-position slices, computed once: pairs sharing set_i
     # share the slice (same device buffer at the jit boundary)
@@ -1149,6 +1248,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         "pre_surv_edge_max": pre_surv_e,
         "tile_overflow": carry.tile_overflow,
         "rows_overflow": carry.rows_overflow,
+        "tiles_used": tiles_used,
         "win_hist": carry.win_hist,
         "win_max": carry.win_max,
     }
@@ -1257,7 +1357,7 @@ def build_and_search_fast(points: jnp.ndarray,
     # surface through ``cand_max`` and the host regrows wcap.
     # no record packing outside Mosaic; row layout (the XLA loop keeps
     # the v3 single-row tile geometry)
-    knobs1 = knobs._replace(pack=1, brick=())
+    knobs1 = knobs._replace(pack=1, brick=(), rec_expand=False)
     carry = _pallas_prep(points, radii, state, cfg, knobs1)
     sol = _xla_tile_search(points, radii, search_radius, state, carry,
                            cfg, knobs1)

@@ -90,12 +90,16 @@ from jax.experimental.pallas import tpu as pltpu
 # -30 ms/step, packed carry +13 ms/step.
 DEFAULT_MXU_PREFIX = os.environ.get("TNS_MXU_PREFIX", "1") == "1"
 DEFAULT_PACKED_CARRY = os.environ.get("TNS_PACKED_CARRY", "0") == "1"
+# v2 single-plane packed compaction (see _compact_sub); env A/B switch
+DEFAULT_COMPACT_V2 = os.environ.get("TNS_COMPACT_V2", "1") == "1"
 
 F_X, F_Y, F_Z, F_R, F_ORIG, F_SET = 0, 1, 2, 3, 4, 5
 N_FIELDS = 8    # padded to 8 record columns
 TILE = 128      # queries per tile == lane width
 DESC_W = 128    # descriptor row width
 LENS_OFF = 64   # descriptor column of window lengths (max 49 windows, W<=3)
+A_COL = 62      # descriptor column: tile's first SORTED point index
+CNT_COL = 63    # descriptor column: tile's real point count (<= 128)
 FAT_COL = 127   # descriptor column: 1 = tile needs the fat kernel
 
 # Padding-slot coordinate: NaN makes d^2 NaN, and NaN <= r^2 is false, so
@@ -157,6 +161,29 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
             _cumsum_sub(mask.astype(jnp.int32), m)
     keep = mask & (p <= out_w)
 
+    # v2 single-plane packed carry: c = displacement << sh | (value + 1),
+    # invalid = 0.  Unlike the r3 packed_carry (measured SLOWER: it kept a
+    # redundant displacement plane and +-1 offsets), zero-invalid needs no
+    # separate validity state: an invalid slot's c is 0, so every stride
+    # bit of it is 0 — it can never be taken and always "stays" as 0 — and
+    # a placed survivor (displacement 0) also stays.  One roll + ~7 VPU
+    # ops per stride vs two rolls + ~9.  Requires value+1 < 2^sh with the
+    # top displacement bits still below 2^31; values are candidate indices
+    # (>= 0 by the keep mask), encoded +1 so value 0 with displacement 0
+    # is distinguishable from invalid.
+    shv = 31 - (m - 1).bit_length() - 1
+    if DEFAULT_COMPACT_V2 and 0 <= val_bound and val_bound + 1 < (1 << shv):
+        c = jnp.where(keep, ((sub - (p - 1)) << shv) + (vals + 1), 0)
+        s = 1
+        while s < m:
+            in_c = pltpu.roll(c, m - s, 0)      # in_c[i] = c[i + s]
+            bit = s << shv
+            take = ((in_c & bit) != 0) & (sub < m - s)
+            stay = (c & bit) == 0
+            c = jnp.where(take, in_c - bit, jnp.where(stay, c, 0))
+            s <<= 1
+        return jnp.where(c > 0, (c & ((1 << shv) - 1)) - 1, -1)[:out_w, :]
+
     sh = 31 - (m + 1).bit_length()
     if packed_carry and 0 <= val_bound <= (1 << sh) - 1:
         # packed carry: c = (displacement+1) << sh | value; 0 = invalid
@@ -194,6 +221,149 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
     return jnp.where(d == 0, v, -1)[:out_w, :]
 
 
+def make_expand_call(n_tiles: int, tiles_cap: int, pack: int,
+                     sentinel_orig: int, interpret: bool = False,
+                     tpb: int = 8, slack_tiles: int = 8):
+    """Build the row-aligned padded record array and the query-tile array
+    by CONTIGUOUS DMA COPIES from the sorted records instead of per-row
+    gathers.
+
+    The padded layout is an expand-with-gaps of the sorted order: tile t's
+    128 slots hold sorted points [a_t, a_t + cnt_t) followed by sentinel
+    padding.  The XLA formulation is one (NPAD, 8)-row gather for the
+    records plus its transpose for the queries — measured ~13 ns/row +
+    ~7 ns/index on v5e (benchmarks/probe_r7a.out P3/S5: 8.8 + 13.8 ms at
+    1M, scaling to ~220 ms at 10M).  Each tile's slots are CONSECUTIVE
+    sorted positions, so a DMA engine copy + a lane rotate (the sorted
+    start is not pack-aligned) does the same work at copy bandwidth.
+
+    Inputs: ``desc`` (the window-descriptor array, whose A_COL/CNT_COL
+    carry each tile's first sorted index and real count), ``recs`` =
+    sorted packed records ((ceil(n/pack)+pad, 128), ``pack`` points per
+    row), ``recsT`` = sorted records field-major ((8, n+lane slack)).
+    Outputs: ``rec_pad`` ((tiles_cap+slack)*128//pack, 128) and ``q_t``
+    (8, (tiles_cap+slack)*128).  Only the first ``n_tiles`` real tiles
+    are written; everything a consumer can read beyond them is masked by
+    window lengths / tile skip flags (see _pallas_search).
+    """
+    rpt = 128 // pack          # record rows per tile
+    lpp = 128 // pack          # lanes per point (== rpt; 8 fields padded)
+    assert rpt * pack == 128 and lpp >= N_FIELDS
+
+    # sentinel patterns (NaN coords fail every distance compare; orig =
+    # sentinel never equals a real query index; F_R stays 0 to match the
+    # gather build's sentinel record exactly).  Built from iota inside
+    # the kernel: pallas_call rejects captured array constants.
+    nan_bits = int(np.float32(SENTINEL).view(np.int32))
+
+    def _sent_from(field_idx):
+        return jnp.where(
+            field_idx <= F_Z, jnp.int32(nan_bits),
+            jnp.where(field_idx == F_ORIG, jnp.int32(sentinel_orig),
+                      jnp.where(field_idx == F_SET, jnp.int32(-1),
+                                jnp.int32(0))))
+
+    def kernel(desc_ref, recs_ref, recsT_ref, rec_out, qt_out,
+               buf, bufT, sems):
+        lane_f = jax.lax.broadcasted_iota(jnp.int32, (rpt, 128), 1) % lpp
+        spat = _sent_from(lane_f)
+        rowT = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+        spatT = _sent_from(rowT)
+        ptidx = (jax.lax.broadcasted_iota(jnp.int32, (rpt, 128), 0) * pack
+                 + jax.lax.broadcasted_iota(jnp.int32, (rpt, 128), 1)
+                 // lpp)
+        lane_q = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+
+        def issue(g, bank):
+            s = desc_ref[g, A_COL]
+            pltpu.make_async_copy(
+                recs_ref.at[pl.ds(s // pack, rpt + 2)],
+                buf.at[bank], sems.at[bank, 0]).start()
+            pltpu.make_async_copy(
+                recsT_ref.at[:, pl.ds(
+                    pl.multiple_of((s // 128) * 128, 128), 256)],
+                bufT.at[bank], sems.at[bank, 1]).start()
+
+        issue(0, 0)
+        for g in range(tpb):
+            if g + 1 < tpb:
+                issue(g + 1, (g + 1) % 2)
+            bank = g % 2
+            s = desc_ref[g, A_COL]
+            cnt = desc_ref[g, CNT_COL]
+            pltpu.make_async_copy(
+                recs_ref.at[pl.ds(s // pack, rpt + 2)],
+                buf.at[bank], sems.at[bank, 0]).wait()
+            pltpu.make_async_copy(
+                recsT_ref.at[:, pl.ds(
+                    pl.multiple_of((s // 128) * 128, 128), 256)],
+                bufT.at[bank], sems.at[bank, 1]).wait()
+            # lane-rotate the packed rows by the sorted start's pack
+            # phase, with cross-row carry (log steps, static shifts)
+            ph = s % pack
+            b = buf[bank]
+            for k in range(max(pack.bit_length() - 1, 0)):
+                sh = lpp << k
+                rolled = pltpu.roll(b, 128 - sh, 1)
+                carry = pltpu.roll(b, rpt + 1, 0)   # row r <- row r+1
+                rolledc = pltpu.roll(carry, 128 - sh, 1)
+                lane_ok = jax.lax.broadcasted_iota(
+                    jnp.int32, (rpt + 2, 128), 1) < (128 - sh)
+                stepped = jnp.where(lane_ok, rolled, rolledc)
+                b = jnp.where(((ph >> k) & 1) != 0, stepped, b)
+            rec_out[pl.ds(g * rpt, rpt), :] = jnp.where(
+                ptidx < cnt, b[0:rpt], spat)
+            # query tile: field-major slice rotated to the tile start
+            phq = s % 128
+            t = bufT[bank]
+            for k in range(7):
+                sh = 1 << k
+                # total rotation < 128 and the buffer holds 256 lanes,
+                # so lanes [0:128) never wrap past the loaded range
+                t = jnp.where(((phq >> k) & 1) != 0,
+                              pltpu.roll(t, 256 - sh, 1), t)
+            qt_out[:, pl.ds(g * 128, 128)] = jnp.where(
+                lane_q < cnt, t[:, 0:128], spatT)
+
+    n_grid = -(-n_tiles // tpb)
+
+    def call(desc, recs, recsT):
+        out_shape = [
+            jax.ShapeDtypeStruct(((tiles_cap + slack_tiles) * rpt, 128),
+                                 jnp.int32),
+            jax.ShapeDtypeStruct((8, (tiles_cap + slack_tiles) * 128),
+                                 jnp.int32),
+        ]
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(n_grid,),
+            in_specs=[
+                pl.BlockSpec((tpb, DESC_W), lambda t: (t, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=[
+                pl.BlockSpec((tpb * rpt, 128), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8, tpb * 128), lambda t: (0, t),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((2, rpt + 2, 128), jnp.int32),
+                pltpu.VMEM((2, 8, 256), jnp.int32),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+        )
+        return pl.pallas_call(
+            kernel, grid_spec=grid_spec, out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret)(desc, recs, recsT)
+
+    return call
+
+
 def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     variable: bool, symmetric: bool,
                     cand_sets=(0,), cand_offsets=(0,),
@@ -205,6 +375,8 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     packed_carry: bool = DEFAULT_PACKED_CARRY,
                     phase_prefix: bool = False,
                     lane_batch: bool = False,
+                    shared_blocks: bool = False, orig_bits: int = 31,
+                    n_sets_total: int = 1,
                     probe_mode: int = 0):
     """Build a pallas_call for one tier.
 
@@ -438,10 +610,15 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                             crit = crit | (d2 <= wr * wr)
                     else:
                         crit = d2 <= r2_fixed
+                    # NOTE (r4 measured): moving the validity into
+                    # NaN-poisoned coords and the center self-exclusion
+                    # into a sentinel orig SAVES VPU ops on paper but
+                    # cost +11 ms/step at 1M on v5e (bench_r7e_v2off vs
+                    # bench_r7_row_base) — the poison chain serializes
+                    # against the distance pipeline.  Keep the
+                    # full-width AND/OR form.
                     off = rowmod * pack + (f - ph_vec)
                     pm = crit & ((off >= 0) & (off < ln_vec))
-                    # self-exclusion only where the query's own record can
-                    # appear: the center window (see module docstring)
                     pm = pm & (not_center | (wo != q_orig))
                     pm_ph.append(pm)
                     if skip_stage < 1:
@@ -458,6 +635,110 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                          for w in range(n_win)], axis=1)
 
                 out_w = max(pre_caps)
+                if shared_blocks and skip_stage < 1:
+                    # SHARED-COMPACTION multi-block path: the candidate-set
+                    # blocks' masks are DISJOINT (a candidate belongs to
+                    # exactly one set), yet the per-block loop below runs a
+                    # full-volume prefix + compaction network PER BLOCK —
+                    # the dominant kernel term at 10M x 3 sets.  Instead:
+                    # ONE combined pass compacts (set_id << orig_bits |
+                    # orig) for ALL candidate sets together, then each
+                    # block extracts its rows from the (much smaller)
+                    # staged buffer with its own MXU prefix — the
+                    # full-volume network is paid once instead of
+                    # n_blocks times.  Gated host-side on the packed
+                    # encoding fitting int32 (_pallas_search).
+                    need_filter = set(cand_sets) != set(range(n_sets_total))
+                    parts = []
+                    run = None
+                    mfs, pks = [], []
+                    tri = None
+                    for f in range(pack):
+                        pmf = pm_ph[f]
+                        if need_filter:
+                            # candidates of sets that are not candidate
+                            # sets would pollute the combined staging
+                            allow = ws_ph[f] == cand_sets[0]
+                            for sj in cand_sets[1:]:
+                                allow = allow | (ws_ph[f] == sj)
+                            pmf = pmf & allow
+                        mf = _reblock(pmf)
+                        # packed (set << orig_bits | orig): the (rows, 1)
+                        # set column broadcasts against the full-width
+                        # value plane
+                        pk = _reblock((ws_ph[f] << orig_bits) | vo_ph[f])
+                        if tri is None:
+                            r_i = jax.lax.broadcasted_iota(
+                                jnp.int32, (wrows, wrows), 0)
+                            c_i = jax.lax.broadcasted_iota(
+                                jnp.int32, (wrows, wrows), 1)
+                            tri = (r_i >= c_i).astype(jnp.bfloat16)
+                        pf = jax.lax.dot_general(
+                            tri, mf.astype(jnp.bfloat16),
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32
+                        ).astype(jnp.int32)
+                        if run is not None:
+                            pf = pf + run
+                        parts.append(pf)
+                        run = pf[wrows - 1:wrows, :]
+                        mfs.append(mf)
+                        pks.append(pk)
+                    prefix = parts[0] if pack == 1 else \
+                        jnp.concatenate(parts, axis=0)
+                    wsum_w = run
+                    # combined center/edge staging-truncation signals
+                    c_sig = wsum_w[:, center_wins[0] * TILE:
+                                   (center_wins[0] + 1) * TILE]
+                    for cw in center_wins[1:]:
+                        c_sig = jnp.maximum(
+                            c_sig, wsum_w[:, cw * TILE:(cw + 1) * TILE])
+                    e_sig = jnp.zeros((1, TILE), jnp.int32)
+                    for w in range(n_win):
+                        if w in center_wins:
+                            continue
+                        e_sig = jnp.maximum(
+                            e_sig, wsum_w[:, w * TILE:(w + 1) * TILE])
+                    for sig, srow in ((c_sig, n_blocks),
+                                      (e_sig, n_blocks + 1)):
+                        sref = out_refs[srow // 8]
+                        sb = co + srow % 8
+                        sref[sb:sb + 1, :] = jnp.maximum(
+                            sref[sb:sb + 1, :], sig)
+                    mask_all = jnp.concatenate(mfs, axis=0) if pack > 1 \
+                        else mfs[0]
+                    packed = jnp.concatenate(pks, axis=0) if pack > 1 \
+                        else pks[0]
+                    staged = _compact_sub(
+                        mask_all, packed, out_w, p=prefix,
+                        mxu_prefix=True, packed_carry=False)
+                    for w in range(n_win):
+                        outc[pc_off[w]:pc_off[w + 1], :] = \
+                            staged[:pre_caps[w], w * TILE:(w + 1) * TILE]
+                    # per-block second stage over the staged buffer:
+                    # extract + front-pack this block's rows and its
+                    # counts; replaces both the per-block full networks
+                    # and the analytic merge
+                    st_v = outc[0:m2, :]
+                    for b in range(n_blocks):
+                        # invalid staged slots are -1: arithmetic >> keeps
+                        # them -1, which never equals a candidate set id
+                        keep_b = (st_v >> orig_bits) == cand_sets[b]
+                        p_b = _mask_prefix_mxu(keep_b)
+                        cnt_b = p_b[m2 - 1:m2, :]
+                        cref = out_refs[b // 8]
+                        cb = co + b % 8
+                        cref[cb:cb + 1, :] = cref[cb:cb + 1, :] + cnt_b
+                        vals_b = (st_v & ((1 << orig_bits) - 1)) \
+                            - cand_offsets[b]
+                        k_out = min(nbr_caps[b], m2)
+                        no = g_out * nbr_caps[b]
+                        out_refs[n_cnt + b][no:no + k_out, :] = \
+                            _compact_sub(keep_b, vals_b, k_out, p=p_b,
+                                         val_bound=val_bound,
+                                         mxu_prefix=True,
+                                         packed_carry=False)
+                    return
                 V = None
                 tri = None
                 for b in range(n_blocks):
@@ -528,6 +809,7 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                         else V
                     staged = _compact_sub(
                         mask_all, vals_b, out_w, p=prefix,
+                        val_bound=val_bound,
                         mxu_prefix=True, packed_carry=False)
                     for w in range(n_win):
                         outc[b * m2 + pc_off[w]:

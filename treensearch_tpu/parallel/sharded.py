@@ -333,7 +333,7 @@ def build_and_search_sharded_fast(points: jnp.ndarray,
     n_dev = mesh.shape[axis]
     # the sharded prep keeps the row-tile layout (the brick layout's
     # owned-row query filter is not wired yet)
-    knobs = knobs._replace(brick=())
+    knobs = knobs._replace(brick=(), rec_expand=False)
     state = update_grid(state, points, cell_size)
     if n == 0:
         sol = pl._empty_solution(cfg, state)
