@@ -70,6 +70,7 @@ def main():
         eng.set_prestage_caps(int(c), int(e))
     if "BENCH_REXP" in os.environ:    # expand-kernel record build
         eng._rec_expand = bool(int(os.environ["BENCH_REXP"]))
+        eng._rec_expand_user = True
 
     # z-order once (SPH practice), settle the padding caps, warm the cache
     eng.prepare_zsort()

@@ -70,27 +70,28 @@ def _assert_pair_parity(sol, orc, si, sj, n_i):
         assert np.array_equal(got, orc.neighbors[(si, sj)][i]), (si, sj, i)
 
 
-@pytest.mark.parametrize("variable,pack,phase_prefix,lane_batch,brick", [
-    # every row is a PRODUCTION-REACHABLE static combination (engine
-    # auto: pack=1 per-window small-n, pack=16 lane_batch large-n;
-    # users can pin pack=4 per-window / lane_batch at any pack).  Rows
-    # are pruned to one per distinct kernel branch — each row is a
-    # separate ~45-100 s XLA compile of the interpret program, the
-    # dominant suite cost (benchmarks/NOTES.md round-4 suite notes).
-    (True, 1, False, False, ()),     # variable+symmetric, per-window
-    (False, 4, True, False, ()),     # packed per-window, per-phase prefix
-    (False, 16, True, False, ()),    # pack16 per-window (10M fallback)
-    (False, 16, True, True, ()),     # lane_batch pack16 (10M production)
-    (True, 4, True, True, ()),       # lane_batch, variable+symmetric
-    (True, 1, False, True, ()),      # lane_batch pack1
-    # v6 BRICK query tiles (multi-center self-exclusion, brick-major
-    # query layout vs plain sorted candidates): the 1M production shape
-    # and the variable+symmetric configuration
-    (False, 8, True, True, (2, 2, 3)),
-    (True, 4, True, True, (2, 2, 2)),
-])
+@pytest.mark.parametrize(
+    "variable,pack,phase_prefix,lane_batch,brick,rec_expand", [
+        # every row is a PRODUCTION-REACHABLE static combination (engine
+        # auto: pack=1 per-window small-n, pack=16 lane_batch large-n;
+        # users can pin pack=4 per-window / lane_batch at any pack).  Rows
+        # are pruned to one per distinct kernel branch — each row is a
+        # separate ~45-100 s XLA compile of the interpret program, the
+        # dominant suite cost (benchmarks/NOTES.md round-4 suite notes).
+        (True, 1, False, False, (), False),   # variable+symm, per-window
+        (False, 4, True, False, (), False),   # packed per-window
+        (False, 16, True, False, (), False),  # pack16 per-window
+        # lane_batch pack16 + DMA-expand record build (1M/10M production)
+        (False, 16, True, True, (), True),
+        (True, 4, True, True, (), True),      # lane_batch var+symm, expand
+        (True, 1, False, True, (), False),    # lane_batch pack1
+        # v6 BRICK query tiles (multi-center self-exclusion, brick-major
+        # query layout vs plain sorted candidates)
+        (False, 8, True, True, (2, 2, 3), False),
+        (True, 4, True, True, (2, 2, 2), False),
+    ])
 def test_pallas_kernel_oracle_parity(variable, pack, phase_prefix,
-                                     lane_batch, brick):
+                                     lane_batch, brick, rec_expand):
     """FULL-point exact parity (v3 cell-run tiles cover every point).
 
     Slab geometry (thin in x/y, long in z): the interpreter executes one
@@ -118,7 +119,7 @@ def test_pallas_kernel_oracle_parity(variable, pack, phase_prefix,
                       fat_wcap=512, tiles_cap=64 if brick else 48,
                       pack=pack,
                       phase_prefix=phase_prefix, lane_batch=lane_batch,
-                      brick=brick)
+                      brick=brick, rec_expand=rec_expand)
     sol = _run_fast(pts_np, rad_np, r, cell, cfg, knobs)
     assert int(sol["pairs"]["0-0"]["max_count"]) <= 96
 
@@ -130,19 +131,21 @@ def test_pallas_kernel_oracle_parity(variable, pack, phase_prefix,
     _assert_pair_parity(sol, orc, 0, 0, n)
 
 
-@pytest.mark.parametrize("pack,phase_prefix,lane_batch,brick", [
-    (1, False, False, ()),
+@pytest.mark.parametrize("pack,phase_prefix,lane_batch,brick,rec_expand", [
+    (1, False, False, (), False),
     # multi-set candidate-set blocks through the per-phase MXU prefix
     # path: per-block phase masks with running offsets must stay exact
-    (4, True, False, ()),
+    (4, True, False, (), False),
     # multi-set through the lane-batched pipeline (production default at
-    # pack >= 8): per-block windows-on-lanes masks + shared V reuse
-    (4, True, True, ()),
+    # pack >= 8): SHARED-compaction combined staging + per-block
+    # extraction, with the DMA-expand record build on top
+    (4, True, True, (), True),
     # multi-set through brick tiles (per-block masks over 16 windows)
-    (8, True, True, (2, 2, 3)),
+    (8, True, True, (2, 2, 3), False),
 ])
 def test_pallas_multi_pair_asymmetric_matrix(pack, phase_prefix,
-                                             lane_batch, brick):
+                                             lane_batch, brick,
+                                             rec_expand):
     """Two sets, asymmetric 3-pair active matrix (1->1 off) through the
     kernel's per-pair emission (reference tests.cpp:114-145)."""
     rng = np.random.default_rng(7)
@@ -158,7 +161,7 @@ def test_pallas_multi_pair_asymmetric_matrix(pack, phase_prefix,
                       fat_wcap=512, tiles_cap=64 if brick else 48,
                       pack=pack,
                       phase_prefix=phase_prefix, lane_batch=lane_batch,
-                      brick=brick)
+                      brick=brick, rec_expand=rec_expand)
     pts = np.concatenate([p0, p1])
     sol = _run_fast(pts, None, r, 1.5 * r, cfg, knobs)
 

@@ -150,6 +150,7 @@ class TreeNSearch:
         self._tiles_auto = False   # tiles_cap was auto-sized (snug ok)
         self._shared_compact = _kd["shared_compact"]
         self._rec_expand = _kd["rec_expand"]
+        self._rec_expand_user = False  # explicit override disables auto
         self._pack_user = False    # set_record_pack disables the heuristic
         self._grid_state: GridState = fresh_state()
         self._fast_carry = None        # FastCarry (temporal coherence)
@@ -468,6 +469,14 @@ class TreeNSearch:
             # and wins at pack >= 8 (regresses at pack <= 4: fewer rows
             # per window starve the wide operands; probe_r5b B1 vs B2)
             self._lane_batch = self._pack >= 8
+        if not self._rec_expand_user:
+            # DMA-expand record build: replaces the (NPAD, 8) row gather
+            # + opad index gather with contiguous copies (104.5 -> 94.3
+            # ms/step at 1M, benchmarks/bench_r7h_rexp1.out); brick /
+            # raw / sharded paths gate it off internally, and small-n
+            # (pack < 8) engines keep the gather build (gathers are not
+            # the bottleneck there)
+            self._rec_expand = self._pack >= 8 and not self._brick
         if self._dense_cap is None:
             self._dense_cap = self._default_dense_cap()
         if self._tiles_cap is None:

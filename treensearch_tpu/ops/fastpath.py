@@ -1199,6 +1199,18 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     # per-SET query-position slices, computed once: pairs sharing set_i
     # share the slice (same device buffer at the jit boundary)
     qpos_set = {}
+    # counts for ALL blocks through ONE stacked gather: gather cost on
+    # TPU is ~per-index (benchmarks/probe_r7a.out: ~7 ns/element at 1M),
+    # so 9 per-pair gathers over 3 sets x 3 blocks at 10M paid 3x the
+    # indices of one (n_blocks, NP) gather that moves n_blocks values
+    # per index.  Single-block configs collapse to the old shape.
+    if len(cand_sets) > 1:
+        counts_stack = jnp.stack(
+            [blk[sj]["counts_flat"] for sj in cand_sets], axis=0)
+        gathered_all = jax.lax.optimization_barrier(
+            counts_stack[:, carry.qpos])
+    else:
+        gathered_all = None
     for (si, sj) in cfg.active_pairs:
         name = _pair_name(si, sj)
         n_i = cfg.set_sizes[si]
@@ -1211,8 +1223,13 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
             if f"s{si}" not in qpos_set:
                 qpos_set[f"s{si}"] = jax.lax.dynamic_slice_in_dim(
                     carry.qpos, cfg.set_offsets[si], n_i)
-            counts = jax.lax.optimization_barrier(
-                blk[sj]["counts_flat"][qpos_set[f"s{si}"]])
+            if gathered_all is not None:
+                counts = jax.lax.dynamic_slice_in_dim(
+                    gathered_all[cand_sets.index(sj)],
+                    cfg.set_offsets[si], n_i)
+            else:
+                counts = jax.lax.optimization_barrier(
+                    blk[sj]["counts_flat"][qpos_set[f"s{si}"]])
             max_count = jnp.max(counts)
             # neighbor rows stay in tile layout + per-point pointer (see
             # materialize_nbrs), and the BLOCK arrays are returned ONCE
