@@ -49,11 +49,13 @@ def main():
     eng.add_point_set(pts)
     eng.set_search_radius(RADIUS)
     eng.set_all_searches(True)
-    # measured-best cell size at 1M (benchmarks/sweep_v3.py): cell = 1.0*r
-    # (smaller windows beat the reference's 1.5*r occupancy trade-off on
-    # the VPU); window cap and record pack are auto-tuned by the engine
-    # from the first run (env overrides for sweeps)
-    eng.set_cell_size(float(os.environ.get("BENCH_CELLF", 1.0)) * RADIUS)
+    # measured-best cell size at 1M: cell = 1.1*r (round-4 re-sweep after
+    # the prep/record trims shifted the balance toward kernel volume:
+    # 1.0 -> 93.9, 1.05 -> 90.2, 1.1 -> 85.7, 1.15 -> 89.5, 1.25 -> 87.9
+    # ms/step, benchmarks/master_r7l/m.log); window cap and record pack
+    # are auto-tuned by the engine from the first run (env overrides for
+    # sweeps)
+    eng.set_cell_size(float(os.environ.get("BENCH_CELLF", 1.1)) * RADIUS)
     if "BENCH_WCAP" in os.environ:
         eng.set_window_cap(int(os.environ["BENCH_WCAP"]))
     if "BENCH_PACK" in os.environ:

@@ -111,10 +111,12 @@ def step_rung(name, check_total=False, raw=False, **kn):
 
     def fn(points, st):
         if raw:
+            # raw mode keeps the gather record build (needs opad)
+            kn_raw = knobs._replace(rec_expand=False)
             st2 = update_grid(st, points, jnp.float32(cell))
-            carry = fp._pallas_prep(points, None, st2, cfg, knobs)
+            carry = fp._pallas_prep(points, None, st2, cfg, kn_raw)
             sol = fp._pallas_search(points, None, jnp.float32(R), st2,
-                                    carry, cfg, knobs, raw=True)
+                                    carry, cfg, kn_raw, raw=True)
             b = sol["blocks"][0]
             return jnp.sum(b["counts_all"][::257], dtype=jnp.int32), st2
         sol, st2 = fp.build_and_search_fast(

@@ -1031,6 +1031,10 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                             jnp.int32)])
     else:
         cand_map = None
+    # raw (sharded) consumers must disable rec_expand in their knobs (the
+    # prep then keeps opad for the gather build); parallel/sharded.py does
+    assert not (raw and knobs.rec_expand and not st["brick"]), \
+        "raw mode requires knobs.rec_expand=False (opad is dropped)"
     if knobs.rec_expand and not st["brick"] and not raw and n > 0:
         # EXPAND-KERNEL record build (see make_expand_call): the fields
         # ride the SORT as payloads (stable sort on the same keys
