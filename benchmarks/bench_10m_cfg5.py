@@ -55,7 +55,9 @@ for p in sets_np:
     eng.add_point_set(p)
 eng.set_search_radius(R)
 eng.set_all_searches(True)          # 9 directed pairs
-eng.set_cell_size(1.0 * R)
+# cell = 1.1r default: the 1M re-sweep optimum holds at 10M too
+# (1.0r -> 1293.0 ms/step, 1.1r -> 1270.5; benchmarks/bench_10m_cfg5_r7n.out)
+eng.set_cell_size(float(os.environ.get("CELLF", 1.1)) * R)
 # preset caps: a regrow recompile at 10M costs minutes (the ergonomics
 # documented in STATUS; the regrow DEMO below exercises the path anyway)
 eng.set_neighbor_cap(int(os.environ.get("NBR", 64)))
