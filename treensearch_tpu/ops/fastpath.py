@@ -127,6 +127,11 @@ class FastKnobs(NamedTuple):
     probe_mode: int = 0        # DEV ONLY kernel attribution ladder:
     #                            1 = window DMAs only, 2 = + field
     #                            extracts, 3 = + mask arithmetic
+    net_cap: int = 0           # DEV ONLY: cap the staging compaction
+    #                            network at this many stride steps
+    #                            (lane_batch paths; results WRONG —
+    #                            prices the network vs its reblock/
+    #                            encode surroundings, probe_r8b)
 
 
 @jax.jit
@@ -1115,7 +1120,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                  packed_carry=knobs.packed_carry,
                  phase_prefix=knobs.phase_prefix,
                  lane_batch=knobs.lane_batch,
-                 probe_mode=knobs.probe_mode)
+                 probe_mode=knobs.probe_mode, net_cap=knobs.net_cap)
     n_blocks_dbg = len(cand_sets)
     if knobs.skip_stage >= 5:
         # DEV: bypass the pallas calls entirely (XLA-side floor); >= 6

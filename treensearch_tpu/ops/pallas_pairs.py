@@ -144,7 +144,8 @@ def _mask_prefix_mxu(mask: jnp.ndarray) -> jnp.ndarray:
 def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
                  p: jnp.ndarray = None, val_bound: int = 1 << 30,
                  mxu_prefix: bool = DEFAULT_MXU_PREFIX,
-                 packed_carry: bool = DEFAULT_PACKED_CARRY):
+                 packed_carry: bool = DEFAULT_PACKED_CARRY,
+                 strides_cap: int = 0):
     """Front-pack masked values along sublanes, order preserving.
 
     Displacements are monotone along the axis so moving by ascending
@@ -154,6 +155,11 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
     otherwise two planes (2 rotates) are carried.
     """
     m, q = mask.shape
+    # DEV ONLY (attribution): cap the shift network at `strides_cap`
+    # stride steps — displacements >= 2^strides_cap are LOST, results
+    # are wrong; used by probes to price the network separately from
+    # the mask reblock/encode work around it (benchmarks/probe_r8b.py)
+    m_net = m if strides_cap <= 0 else min(m, 1 << strides_cap)
     # (m, 1) row vector: every use broadcasts along lanes
     sub = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     if p is None:
@@ -175,7 +181,7 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
     if DEFAULT_COMPACT_V2 and 0 <= val_bound and val_bound + 1 < (1 << shv):
         c = jnp.where(keep, ((sub - (p - 1)) << shv) + (vals + 1), 0)
         s = 1
-        while s < m:
+        while s < m_net:
             in_c = pltpu.roll(c, m - s, 0)      # in_c[i] = c[i + s]
             bit = s << shv
             take = ((in_c & bit) != 0) & (sub < m - s)
@@ -190,7 +196,7 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
         e = jnp.where(keep, sub - (p - 1) + 1, 0)
         c = jnp.where(keep, (e << sh) | vals, 0)
         s = 1
-        while s < m:
+        while s < m_net:
             in_c = pltpu.roll(c, m - s, 0)      # in_c[i] = c[i + s]
             in_e = in_c >> sh
             take = (in_e > 0) & (((in_e - 1) & s) != 0) & (sub < m - s)
@@ -209,7 +215,7 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
     d = jnp.where(keep, sub - (p - 1), INV)
     v = vals
     s = 1
-    while s < m:
+    while s < m_net:
         in_d = pltpu.roll(d, m - s, 0)      # in_d[i] = d[i + s]
         in_v = pltpu.roll(v, m - s, 0)
         take = ((in_d & s) != 0) & (sub < m - s)
@@ -377,7 +383,7 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     lane_batch: bool = False,
                     shared_blocks: bool = False, orig_bits: int = 31,
                     n_sets_total: int = 1,
-                    probe_mode: int = 0):
+                    probe_mode: int = 0, net_cap: int = 0):
     """Build a pallas_call for one tier.
 
     Narrow tier (``fat_tier=False``): grid over all tiles; tiles whose
@@ -711,7 +717,8 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                         else pks[0]
                     staged = _compact_sub(
                         mask_all, packed, out_w, p=prefix,
-                        mxu_prefix=True, packed_carry=False)
+                        mxu_prefix=True, packed_carry=False,
+                        strides_cap=net_cap)
                     for w in range(n_win):
                         outc[pc_off[w]:pc_off[w + 1], :] = \
                             staged[:pre_caps[w], w * TILE:(w + 1) * TILE]
@@ -810,7 +817,8 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     staged = _compact_sub(
                         mask_all, vals_b, out_w, p=prefix,
                         val_bound=val_bound,
-                        mxu_prefix=True, packed_carry=False)
+                        mxu_prefix=True, packed_carry=False,
+                        strides_cap=net_cap)
                     for w in range(n_win):
                         outc[b * m2 + pc_off[w]:
                              b * m2 + pc_off[w + 1], :] = \
