@@ -562,6 +562,12 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     # window = sorted range [table[row' + k0 - w], table[row' + k1+w+1])
     # of neighbor row row' = trow + di*dy + dj; windows of distinct
     # (di, dj) are disjoint, so the kernel needs no stencil recompute.
+    # Start space must match the record build the consumer uses: the
+    # pallas rec_expand mode reads windows from the SORTED records, the
+    # gather build and the XLA fallback from the PADDED layout (the
+    # sharded wrapper forces rec_expand=False, so owned_rng rides the
+    # padded space).
+    win_sorted = knobs.rec_expand and knobs.use_pallas and not st["brick"]
     starts_l, lens_l = [], []
     for (di, dj) in offs_2d:
         rp = jnp.clip(trow + di * dy + dj, 0, dense_cap // dz)
@@ -586,13 +592,25 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         s = table[jnp.clip(base + k0 - wk, 0, dense_cap)]
         e = table[jnp.clip(base + k1 + wk + 1, 0, dense_cap)]
         lens_l.append(jnp.maximum(e - s, 0) * has * ok)
-        # window starts index the PADDED record layout (one array
-        # serves queries and candidate windows): a window's k-run lies
-        # in one grid row, so adding that row's pad offset keeps the
-        # range contiguous and the length unchanged.  Rows' trailing
-        # pad slots carry sentinel records, so DMA overreads self-mask.
-        starts_l.append(jnp.clip(
-            s + pads_exc[jnp.minimum(rp, rows_cap - 1)], 0, NPAD))
+        if win_sorted:
+            # rec_expand pallas engines DMA candidate windows straight
+            # from the SORTED packed records: a window's k-run is
+            # contiguous in sorted space too and the kernel's
+            # ``off < ln`` bound masks every row beyond it, so no
+            # padded-space rebase — and no rec_pad array at all — is
+            # needed (the expand kernel then builds only the query
+            # tiles; saves the padded-record write traffic and ~40 MB
+            # at 1M / ~360 MB at 10M of HBM).
+            starts_l.append(jnp.clip(s, 0, n))
+        else:
+            # window starts index the PADDED record layout (one array
+            # serves queries and candidate windows): a window's k-run
+            # lies in one grid row, so adding that row's pad offset
+            # keeps the range contiguous and the length unchanged.
+            # Rows' trailing pad slots carry sentinel records, so DMA
+            # overreads self-mask.
+            starts_l.append(jnp.clip(
+                s + pads_exc[jnp.minimum(rp, rows_cap - 1)], 0, NPAD))
     starts = jnp.stack(starts_l, axis=1)
     lens = jnp.stack(lens_l, axis=1)
     if owned_rng is not None:
@@ -1070,7 +1088,12 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         if lpp > N_FIELDS:
             cols = jnp.pad(cols, ((0, 0), (0, lpp - N_FIELDS)))
         rpt = 128 // pack
-        n_rows_src = -(-n // pack) + rpt + 4
+        # slack: candidate windows DMA straight from these sorted rows
+        # (the descriptors are in SORTED space under rec_expand — see
+        # _pallas_prep win_sorted), so a window starting near n may
+        # overread up to a fat-tier window of rows; all padding carries
+        # the sentinel record
+        n_rows_src = -(-n // pack) + max(rpt, fat_wcap // pack) + 4
         pad_pts = n_rows_src * pack - n
         sent_l = jnp.pad(sent, (0, lpp - N_FIELDS)) if lpp > N_FIELDS \
             else sent
@@ -1083,8 +1106,12 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         expand = make_expand_call(
             tiles_cap, tiles_cap, pack,
             sentinel_orig if sentinel_orig is not None else n,
-            interpret=knobs.interpret, slack_tiles=st["slack"] // 128)
-        rec_pad, q_t = expand(carry.desc, recs, recsT)
+            interpret=knobs.interpret, slack_tiles=st["slack"] // 128,
+            build_rec=False)
+        q_t = expand(carry.desc, recsT)
+        # the pairs kernels consume the sorted rows directly; no padded
+        # record array exists in this mode
+        rec_pad = recs
     else:
         q_t, rec_pad = _build_records(rec8x, carry.opad, lpp,
                                       knobs.rec_wide, cand_map=cand_map)

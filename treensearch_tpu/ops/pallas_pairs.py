@@ -92,6 +92,13 @@ DEFAULT_MXU_PREFIX = os.environ.get("TNS_MXU_PREFIX", "1") == "1"
 DEFAULT_PACKED_CARRY = os.environ.get("TNS_PACKED_CARRY", "0") == "1"
 # v2 single-plane packed compaction (see _compact_sub); env A/B switch
 DEFAULT_COMPACT_V2 = os.environ.get("TNS_COMPACT_V2", "1") == "1"
+# large-stride shift flavor in the compaction networks: slice+zero-pad
+# instead of pltpu.roll.  probe_r8b priced the network's strides at 1M:
+# strides 1-8 ~4.6 ms TOTAL, strides 16-128 ~5.9 ms EACH — the
+# large-distance sublane rolls dominate the whole kernel.  The rolled
+# tail (rows >= m-s) is always discarded by the `sub < m-s` guard, so a
+# zero-filled shift is bit-identical.
+DEFAULT_SHIFT_SLICE = os.environ.get("TNS_SHIFT_SLICE", "1") == "1"
 
 F_X, F_Y, F_Z, F_R, F_ORIG, F_SET = 0, 1, 2, 3, 4, 5
 N_FIELDS = 8    # padded to 8 record columns
@@ -114,13 +121,33 @@ def _f32(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
 
+def _shift_up(x: jnp.ndarray, s: int) -> jnp.ndarray:
+    """out[i] = x[i + s] for i < m - s, 0 beyond — the up-shift every
+    network stride needs.  For s >= 8 a sublane SLICE at an 8-aligned
+    offset + zero pad replaces ``pltpu.roll(x, m - s, 0)``: bit-identical
+    where consumed (the wrapped tail is always masked by ``sub < m - s``)
+    and ~5x cheaper on v5e for large s (benchmarks/probe_r8b.out)."""
+    m = x.shape[0]
+    if DEFAULT_SHIFT_SLICE and s % 8 == 0:
+        return jnp.concatenate(
+            [x[s:, :], jnp.zeros((s, x.shape[1]), x.dtype)], axis=0)
+    return pltpu.roll(x, m - s, 0)
+
+
 def _cumsum_sub(x: jnp.ndarray, m: int) -> jnp.ndarray:
     """Inclusive prefix sum along sublanes (axis 0), Hillis-Steele."""
     sub = jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], 1), 0)
     s = 1
     while s < m:
-        shifted = pltpu.roll(x, s, 0)       # shifted[i] = x[i - s]
-        x = x + jnp.where(sub >= s, shifted, 0)
+        if DEFAULT_SHIFT_SLICE and s % 8 == 0:
+            # shifted[i] = x[i - s], zeros below row s (the guard keeps
+            # only rows >= s anyway) — slice flavor, see _shift_up
+            shifted = jnp.concatenate(
+                [jnp.zeros((s, x.shape[1]), x.dtype), x[:m - s, :]], axis=0)
+            x = x + shifted
+        else:
+            shifted = pltpu.roll(x, s, 0)   # shifted[i] = x[i - s]
+            x = x + jnp.where(sub >= s, shifted, 0)
         s <<= 1
     return x
 
@@ -182,7 +209,7 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
         c = jnp.where(keep, ((sub - (p - 1)) << shv) + (vals + 1), 0)
         s = 1
         while s < m_net:
-            in_c = pltpu.roll(c, m - s, 0)      # in_c[i] = c[i + s]
+            in_c = _shift_up(c, s)              # in_c[i] = c[i + s]
             bit = s << shv
             take = ((in_c & bit) != 0) & (sub < m - s)
             stay = (c & bit) == 0
@@ -197,7 +224,7 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
         c = jnp.where(keep, (e << sh) | vals, 0)
         s = 1
         while s < m_net:
-            in_c = pltpu.roll(c, m - s, 0)      # in_c[i] = c[i + s]
+            in_c = _shift_up(c, s)              # in_c[i] = c[i + s]
             in_e = in_c >> sh
             take = (in_e > 0) & (((in_e - 1) & s) != 0) & (sub < m - s)
             stay = (e > 0) & (((e - 1) & s) == 0)
@@ -216,8 +243,8 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
     v = vals
     s = 1
     while s < m_net:
-        in_d = pltpu.roll(d, m - s, 0)      # in_d[i] = d[i + s]
-        in_v = pltpu.roll(v, m - s, 0)
+        in_d = _shift_up(d, s)              # in_d[i] = d[i + s]
+        in_v = _shift_up(v, s)
         take = ((in_d & s) != 0) & (sub < m - s)
         stay = (d & s) == 0                  # invalid stays until taken
         d = jnp.where(take, in_d - s, jnp.where(stay, d, INV))
