@@ -256,10 +256,18 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
 
 def make_expand_call(n_tiles: int, tiles_cap: int, pack: int,
                      sentinel_orig: int, interpret: bool = False,
-                     tpb: int = 8, slack_tiles: int = 8):
+                     tpb: int = 8, slack_tiles: int = 8,
+                     build_rec: bool = True):
     """Build the row-aligned padded record array and the query-tile array
     by CONTIGUOUS DMA COPIES from the sorted records instead of per-row
     gathers.
+
+    ``build_rec=False`` (the win_sorted production mode): the pairs
+    kernels DMA candidate windows straight from the SORTED packed rows
+    (window descriptors are in sorted space — see fastpath._pallas_prep
+    win_sorted), so no padded record array exists; this kernel builds
+    ONLY the query tiles.  Call signature shrinks to ``(desc, recsT)``
+    and the single output is ``q_t``.
 
     The padded layout is an expand-with-gaps of the sorted order: tile t's
     128 slots hold sorted points [a_t, a_t + cnt_t) followed by sentinel
@@ -296,22 +304,30 @@ def make_expand_call(n_tiles: int, tiles_cap: int, pack: int,
                       jnp.where(field_idx == F_SET, jnp.int32(-1),
                                 jnp.int32(0))))
 
-    def kernel(desc_ref, recs_ref, recsT_ref, rec_out, qt_out,
-               buf, bufT, sems):
-        lane_f = jax.lax.broadcasted_iota(jnp.int32, (rpt, 128), 1) % lpp
-        spat = _sent_from(lane_f)
+    def kernel(*refs):
+        if build_rec:
+            (desc_ref, recs_ref, recsT_ref, rec_out, qt_out,
+             buf, bufT, sems) = refs
+        else:
+            desc_ref, recsT_ref, qt_out, bufT, sems = refs
         rowT = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         spatT = _sent_from(rowT)
-        ptidx = (jax.lax.broadcasted_iota(jnp.int32, (rpt, 128), 0) * pack
-                 + jax.lax.broadcasted_iota(jnp.int32, (rpt, 128), 1)
-                 // lpp)
         lane_q = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
+        if build_rec:
+            lane_f = (jax.lax.broadcasted_iota(jnp.int32, (rpt, 128), 1)
+                      % lpp)
+            spat = _sent_from(lane_f)
+            ptidx = (jax.lax.broadcasted_iota(jnp.int32, (rpt, 128), 0)
+                     * pack
+                     + jax.lax.broadcasted_iota(jnp.int32, (rpt, 128), 1)
+                     // lpp)
 
         def issue(g, bank):
             s = desc_ref[g, A_COL]
-            pltpu.make_async_copy(
-                recs_ref.at[pl.ds(s // pack, rpt + 2)],
-                buf.at[bank], sems.at[bank, 0]).start()
+            if build_rec:
+                pltpu.make_async_copy(
+                    recs_ref.at[pl.ds(s // pack, rpt + 2)],
+                    buf.at[bank], sems.at[bank, 0]).start()
             pltpu.make_async_copy(
                 recsT_ref.at[:, pl.ds(
                     pl.multiple_of((s // 128) * 128, 128), 256)],
@@ -324,28 +340,30 @@ def make_expand_call(n_tiles: int, tiles_cap: int, pack: int,
             bank = g % 2
             s = desc_ref[g, A_COL]
             cnt = desc_ref[g, CNT_COL]
-            pltpu.make_async_copy(
-                recs_ref.at[pl.ds(s // pack, rpt + 2)],
-                buf.at[bank], sems.at[bank, 0]).wait()
+            if build_rec:
+                pltpu.make_async_copy(
+                    recs_ref.at[pl.ds(s // pack, rpt + 2)],
+                    buf.at[bank], sems.at[bank, 0]).wait()
             pltpu.make_async_copy(
                 recsT_ref.at[:, pl.ds(
                     pl.multiple_of((s // 128) * 128, 128), 256)],
                 bufT.at[bank], sems.at[bank, 1]).wait()
-            # lane-rotate the packed rows by the sorted start's pack
-            # phase, with cross-row carry (log steps, static shifts)
-            ph = s % pack
-            b = buf[bank]
-            for k in range(max(pack.bit_length() - 1, 0)):
-                sh = lpp << k
-                rolled = pltpu.roll(b, 128 - sh, 1)
-                carry = pltpu.roll(b, rpt + 1, 0)   # row r <- row r+1
-                rolledc = pltpu.roll(carry, 128 - sh, 1)
-                lane_ok = jax.lax.broadcasted_iota(
-                    jnp.int32, (rpt + 2, 128), 1) < (128 - sh)
-                stepped = jnp.where(lane_ok, rolled, rolledc)
-                b = jnp.where(((ph >> k) & 1) != 0, stepped, b)
-            rec_out[pl.ds(g * rpt, rpt), :] = jnp.where(
-                ptidx < cnt, b[0:rpt], spat)
+            if build_rec:
+                # lane-rotate the packed rows by the sorted start's pack
+                # phase, with cross-row carry (log steps, static shifts)
+                ph = s % pack
+                b = buf[bank]
+                for k in range(max(pack.bit_length() - 1, 0)):
+                    sh = lpp << k
+                    rolled = pltpu.roll(b, 128 - sh, 1)
+                    carry = pltpu.roll(b, rpt + 1, 0)  # row r <- row r+1
+                    rolledc = pltpu.roll(carry, 128 - sh, 1)
+                    lane_ok = jax.lax.broadcasted_iota(
+                        jnp.int32, (rpt + 2, 128), 1) < (128 - sh)
+                    stepped = jnp.where(lane_ok, rolled, rolledc)
+                    b = jnp.where(((ph >> k) & 1) != 0, stepped, b)
+                rec_out[pl.ds(g * rpt, rpt), :] = jnp.where(
+                    ptidx < cnt, b[0:rpt], spat)
             # query tile: field-major slice rotated to the tile start
             phq = s % 128
             t = bufT[bank]
@@ -359,40 +377,48 @@ def make_expand_call(n_tiles: int, tiles_cap: int, pack: int,
                 lane_q < cnt, t[:, 0:128], spatT)
 
     n_grid = -(-n_tiles // tpb)
+    # the grid writes ceil(n_tiles/tpb)*tpb tiles; size the outputs to
+    # cover the last block even when slack_tiles < tpb - 1
+    nt_out = max(tiles_cap + slack_tiles, n_grid * tpb)
 
-    def call(desc, recs, recsT):
+    def call(desc, *recs_args):
         out_shape = [
-            jax.ShapeDtypeStruct(((tiles_cap + slack_tiles) * rpt, 128),
-                                 jnp.int32),
-            jax.ShapeDtypeStruct((8, (tiles_cap + slack_tiles) * 128),
-                                 jnp.int32),
+            jax.ShapeDtypeStruct((8, nt_out * 128), jnp.int32),
         ]
+        out_specs = [
+            pl.BlockSpec((8, tpb * 128), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ]
+        in_specs = [
+            pl.BlockSpec((tpb, DESC_W), lambda t: (t, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        scratch = [
+            pltpu.VMEM((2, 8, 256), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ]
+        if build_rec:
+            out_shape.insert(0, jax.ShapeDtypeStruct(
+                (nt_out * rpt, 128), jnp.int32))
+            out_specs.insert(0, pl.BlockSpec(
+                (tpb * rpt, 128), lambda t: (t, 0),
+                memory_space=pltpu.VMEM))
+            in_specs.insert(1, pl.BlockSpec(memory_space=pl.ANY))
+            scratch.insert(0, pltpu.VMEM((2, rpt + 2, 128), jnp.int32))
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(n_grid,),
-            in_specs=[
-                pl.BlockSpec((tpb, DESC_W), lambda t: (t, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
-            out_specs=[
-                pl.BlockSpec((tpb * rpt, 128), lambda t: (t, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((8, tpb * 128), lambda t: (0, t),
-                             memory_space=pltpu.VMEM),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((2, rpt + 2, 128), jnp.int32),
-                pltpu.VMEM((2, 8, 256), jnp.int32),
-                pltpu.SemaphoreType.DMA((2, 2)),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         )
-        return pl.pallas_call(
+        out = pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=64 * 1024 * 1024),
-            interpret=interpret)(desc, recs, recsT)
+            interpret=interpret)(desc, *recs_args)
+        return out if build_rec else out[0]
 
     return call
 
