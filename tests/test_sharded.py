@@ -91,8 +91,15 @@ def test_sharded_memory_is_domain_decomposed():
     assert int(jnp.sum(counts)) > 0
 
 
-@pytest.mark.parametrize("variable", [False, True])
-def test_sharded_fast_matches_single_device_fastpath(variable):
+@pytest.mark.parametrize("variable,production", [
+    (False, False), (True, False),
+    # PRODUCTION knob set (api auto at n >= 200k): pack 8+, lane-batched
+    # kernel, expand record build — the sharded engine no longer forces
+    # rec_expand off, so the sorted-window DMA layout must hold under
+    # shard_map with slab-local records and global orig/set ids
+    (False, True), (True, True),
+])
+def test_sharded_fast_matches_single_device_fastpath(variable, production):
     """The FLAGSHIP engine sharded (VERDICT r2 item 4): per-device dense
     table over the slab + halos, row-aligned layout, tile-window kernel
     with the owned-row query filter.  Must match the single-device fast
@@ -112,9 +119,11 @@ def test_sharded_fast_matches_single_device_fastpath(variable):
     # single-device fast path (interpret kernel)
     # windows of this cloud are <= ~40 slots: wcap 64 (vs 256) cuts
     # the interpret-mode kernel cost 4x at identical coverage
+    prod = dict(pack=8, lane_batch=True, rec_expand=True) \
+        if production else {}
     knobs1 = FastKnobs(wcap=64, dense_cap=1 << 14, use_pallas=True,
                        pre_cap=48, pre_edge=48, interpret=True,
-                       fat_cap=8, tiles_cap=128)
+                       fat_cap=8, tiles_cap=128, **prod)
     pts_d = jnp.asarray(pts)
     rad_d = jnp.asarray(rad) if variable else None
     sol1, _ = build_and_search_fast_jit(
@@ -127,7 +136,7 @@ def test_sharded_fast_matches_single_device_fastpath(variable):
     # sharded fast path: per-device caps over ~N/8 + halos
     knobs8 = FastKnobs(wcap=64, dense_cap=1 << 13, use_pallas=True,
                        pre_cap=48, pre_edge=48, interpret=True,
-                       fat_cap=8, tiles_cap=96)
+                       fat_cap=8, tiles_cap=96, **prod)
     sharded = jax.device_put(pts_d, NamedSharding(mesh, P("d")))
     sol2, _ = jax.jit(
         lambda p, r, st: build_and_search_sharded_fast(

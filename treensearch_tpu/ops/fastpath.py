@@ -1054,11 +1054,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                             jnp.int32)])
     else:
         cand_map = None
-    # raw (sharded) consumers must disable rec_expand in their knobs (the
-    # prep then keeps opad for the gather build); parallel/sharded.py does
-    assert not (raw and knobs.rec_expand and not st["brick"]), \
-        "raw mode requires knobs.rec_expand=False (opad is dropped)"
-    if knobs.rec_expand and not st["brick"] and not raw and n > 0:
+    if knobs.rec_expand and not st["brick"] and n > 0:
         # EXPAND-KERNEL record build (see make_expand_call): the fields
         # ride the SORT as payloads (stable sort on the same keys
         # reproduces the carried permutation bit-for-bit, so this works
@@ -1068,11 +1064,15 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         # copy bandwidth instead of the (NPAD, 8) row gather + the opad
         # index gather (~22.6 ms/step at 1M, ~10x that at 10M).
         from .pallas_pairs import make_expand_call
+        # set ids ride the sort whenever they are real: data-driven ids
+        # (raw/sharded mode) or a multi-set engine — matching what the
+        # gather build writes into rec8 col F_SET
+        carry_sets = set_ids_data is not None or cfg.n_sets > 1
         ops_l = [carry.lin_chk, _asbits(points[:, 0]),
                  _asbits(points[:, 1]), _asbits(points[:, 2]), orig_o]
         if cfg.variable:
             ops_l.append(_asbits(rfield))
-        if cfg.n_sets > 1:
+        if carry_sets:
             ops_l.append(set_id_o)
         sorted_ = jax.lax.sort(tuple(ops_l), num_keys=1, is_stable=True)
         xs, ys, zs, os_ = sorted_[1], sorted_[2], sorted_[3], sorted_[4]
@@ -1082,7 +1082,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
             k += 1
         else:
             rs_ = jnp.zeros((n,), jnp.int32)
-        ss_ = sorted_[k] if cfg.n_sets > 1 else jnp.zeros((n,), jnp.int32)
+        ss_ = sorted_[k] if carry_sets else jnp.zeros((n,), jnp.int32)
         z0 = jnp.zeros((n,), jnp.int32)
         cols = jnp.stack([xs, ys, zs, rs_, os_, ss_, z0, z0], axis=1)
         if lpp > N_FIELDS:

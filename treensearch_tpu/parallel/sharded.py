@@ -332,8 +332,14 @@ def build_and_search_sharded_fast(points: jnp.ndarray,
     n = cfg.n_points
     n_dev = mesh.shape[axis]
     # the sharded prep keeps the row-tile layout (the brick layout's
+    # owned-row query filter is not wired); rec_expand passes through:
+    # the expand build sorts the slab-local records by the same masked
+    # cell keys as the prep (stable sort => identical permutation), the
+    # window descriptors ride sorted space (fastpath win_sorted) and the
+    # pair kernels DMA candidate windows from the sorted rows — the same
+    # two round-4/5 wins the single-chip engine has.
     # owned-row query filter is not wired yet)
-    knobs = knobs._replace(brick=(), rec_expand=False)
+    knobs = knobs._replace(brick=())
     state = update_grid(state, points, cell_size)
     if n == 0:
         sol = pl._empty_solution(cfg, state)
