@@ -133,3 +133,78 @@ def test_zsort_invalidated_by_resize():
     eng.resize_point_set(0, _cloud(12))
     with pytest.raises(RuntimeError):
         eng.apply_zsort(0, np.zeros((12, 3), np.float32))
+
+
+def test_zsort_cell_granular_fast_path_after_run():
+    """After a fast-path run, prepare_zsort reuses the carried cell
+    assignment (reference cells fast path, TreeNSearch.cpp:2598-2657):
+    cells in Morton order, intra-cell original order preserved, no
+    re-quantization.  Independently recomputed in numpy from the carry."""
+    n = 1200
+    pts = _cloud(n, 5)
+    eng = TreeNSearch()
+    eng.add_point_set(pts)
+    eng.set_search_radius(0.1)
+    eng.set_all_searches(True)
+    eng.set_use_pallas(True, interpret=True)
+    eng.set_window_cap(64)
+    eng._fat_cap = 8
+    eng.run()
+    assert eng._last_stats.get("path") == "fast"
+    assert eng._fast_carry is not None and bool(eng._fast_carry.valid)
+    eng.prepare_zsort()
+    order = eng.get_zsort_order(0)
+    assert sorted(order.tolist()) == list(range(n))
+
+    # expected: stable argsort by Morton key of the decoded padded cell
+    # coords (pure-python interleave; n is small)
+    lin = np.asarray(eng._fast_carry.lin_chk)
+    w = int(eng._last_stats["stencil_w"])
+    nc = np.asarray(eng._grid_state.n_cells)
+    dy, dz = int(nc[1]) + 2 * w, int(nc[2]) + 2 * w
+    k = lin % dz
+    j = (lin // dz) % dy
+    i = lin // (dz * dy)
+
+    def interleave3(a, b, c):
+        out = 0
+        for bit in range(17):
+            out |= (((int(a) >> bit) & 1) << (3 * bit + 2)
+                    | ((int(b) >> bit) & 1) << (3 * bit + 1)
+                    | ((int(c) >> bit) & 1) << (3 * bit))
+        return out
+
+    keys = np.array([interleave3(k[p], j[p], i[p]) for p in range(n)],
+                    dtype=np.int64)
+    expect = np.argsort(keys, kind="stable")
+    assert np.array_equal(order, expect)
+
+    # intra-cell original order is preserved (cell granularity)
+    lin_sorted = lin[order]
+    same_cell = lin_sorted[1:] == lin_sorted[:-1]
+    assert np.all(order[1:][same_cell] > order[:-1][same_cell])
+
+    # locality: z-ordered points have smaller mean step distance
+    p2 = pts[order]
+    d_orig = np.linalg.norm(np.diff(pts, axis=0), axis=1).mean()
+    d_sorted = np.linalg.norm(np.diff(p2, axis=0), axis=1).mean()
+    assert d_sorted < 0.5 * d_orig
+
+
+def test_zsort_cell_path_matches_apply_roundtrip():
+    # apply_zsort through the cell-granular order keeps exactness
+    n = 400
+    pts = _cloud(n, 6)
+    eng = TreeNSearch()
+    eng.add_point_set(pts)
+    eng.set_search_radius(0.12)
+    eng.set_all_searches(True)
+    eng.set_use_pallas(True, interpret=True)
+    eng.set_window_cap(64)
+    eng._fat_cap = 8
+    eng.run()
+    eng.prepare_zsort()
+    order = eng.get_zsort_order(0)
+    p = pts.copy()
+    eng.apply_zsort(0, p)
+    assert np.array_equal(p, pts[order])

@@ -780,9 +780,36 @@ class TreeNSearch:
     # ---------------------------------------------------------------- zsort
     def prepare_zsort(self) -> None:
         """Compute per-set Morton reorder maps (reference ``prepare_zsort``,
-        ``TreeNSearch.cpp:2571-2661``)."""
+        ``TreeNSearch.cpp:2571-2661``).
+
+        Like the reference, this takes the CELL-GRANULAR fast path when
+        the cells of the last run are available (``TreeNSearch.cpp:
+        2598-2657``): the carried cell assignment is decoded and sorted
+        at cell granularity (points of one cell stay in order) with no
+        world-box reduction or re-quantization — see
+        ``ops.zsort.zsort_orders_from_cells``.  Without a valid carry
+        (no run yet, carry disabled, points resized, or mesh mode) it
+        computes the exact per-point 2^20 Morton order (the reference's
+        refined no-tree path, ``TreeNSearch.cpp:2663-2716``)."""
         if not self._sets:
             raise RuntimeError("no point sets added")
+        carry = self._fast_carry
+        sizes_now = tuple(s.n for s in self._sets)
+        if (carry is not None and bool(carry.valid)
+                and self._carry_key is not None
+                and self._carry_key[0].set_sizes == sizes_now
+                and self._last_stats.get("path") == "fast"):
+            from .ops.zsort import zsort_orders_from_cells
+            w = int(self._last_stats.get("stencil_w", 1))
+            nc = self._grid_state.n_cells
+            dy, dz = nc[1] + 2 * w, nc[2] + 2 * w
+            offs, lins = 0, []
+            for s in self._sets:
+                lins.append(jax.lax.slice_in_dim(carry.lin_chk, offs,
+                                                 offs + s.n))
+                offs += s.n
+            self._zsort_maps = zsort_orders_from_cells(lins, dy, dz)
+            return
         mins, maxs = [], []
         pts_dev = []
         for s in self._sets:

@@ -57,6 +57,47 @@ def zsort_orders(points_list, box_min: jnp.ndarray, box_max: jnp.ndarray):
 
 
 @jax.jit
+def zsort_orders_from_cells(lin_list, dy: jnp.ndarray, dz: jnp.ndarray):
+    """CELL-GRANULAR per-set Z-orders from the LAST run's cell assignment
+    — the TPU redesign of the reference's cells fast path
+    (``TreeNSearch.cpp:2598-2657``).
+
+    The reference reuses the cells of the last search to compute an
+    approximate Z-order at cell granularity (sort the m cells by Morton
+    key, emit each cell's points in their current order) because its CPU
+    cell sort is O(m log m) instead of O(n log n).  On TPU the sort is
+    not the bottleneck (``lax.sort`` ~1.3 ms at 1M), but the semantics
+    port directly and CHEAPER than the per-point path: the carried
+    padded linear cell ids (``FastCarry.lin_chk``) are decoded to cell
+    coords elementwise — no world-box min/max reduction over every set
+    and no re-quantization of the positions — then one stable 2-word-key
+    sort per set reproduces "cells in Morton order, intra-cell order
+    preserved" (points of one cell share a key; the sort is stable).
+
+    ``lin = ((i + w) * dy + (j + w)) * dz + (k + w)``: the +w pad shift
+    is a constant lattice translation, so sorting by Morton of the
+    padded coords is a valid Z-curve ordering of the same cells (the
+    reference's order is approximate by design).  Grid axes are capped
+    at 2^15 cells (ops/grid.py), so padded coords fit ``bits=16``.
+    """
+    outs = []
+    for lin in lin_list:
+        n = lin.shape[0]
+        if n == 0:
+            outs.append(jnp.zeros((0,), jnp.int32))
+            continue
+        k_p = lin % dz
+        j_p = (lin // dz) % dy
+        i_p = lin // (dz * dy)
+        ijk = jnp.stack([i_p, j_p, k_p], axis=1)
+        hi, lo = K.morton_keys_2word(ijk, bits=16)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        _, _, new_to_old = K.sort_by_2word_key(hi, lo, iota)
+        outs.append(new_to_old)
+    return outs
+
+
+@jax.jit
 def apply_order(data: jnp.ndarray, new_to_old: jnp.ndarray) -> jnp.ndarray:
     """Gather rows of ``data`` (n, ...) into the new order."""
     return jnp.take(data, new_to_old, axis=0)
