@@ -49,17 +49,15 @@ def main():
     eng.add_point_set(pts)
     eng.set_search_radius(RADIUS)
     eng.set_all_searches(True)
-    # measured-best cell size at 1M: cell = 1.1*r (round-4 re-sweep after
-    # the prep/record trims shifted the balance toward kernel volume:
-    # 1.0 -> 93.9, 1.05 -> 90.2, 1.1 -> 85.7, 1.15 -> 89.5, 1.25 -> 87.9
-    # ms/step, benchmarks/master_r7l/m.log); window cap and record pack
-    # are auto-tuned by the engine from the first run (env overrides for
-    # sweeps)
-    eng.set_cell_size(float(os.environ.get("BENCH_CELLF", 1.1)) * RADIUS)
+    # measured-best headline config at 1M under the round-5 sorted-window
+    # engine: pack=8 records at cell = 1.15*r (78.6 ms/step vs 85.0 at
+    # the pack=16/1.1r round-4 point; sweep artifacts
+    # benchmarks/bench_r9a_*.out, exactness validate_1m_r9a_p8c115.out);
+    # window cap auto-tunes from the first run (env overrides for sweeps)
+    eng.set_cell_size(float(os.environ.get("BENCH_CELLF", 1.15)) * RADIUS)
     if "BENCH_WCAP" in os.environ:
         eng.set_window_cap(int(os.environ["BENCH_WCAP"]))
-    if "BENCH_PACK" in os.environ:
-        eng.set_record_pack(int(os.environ["BENCH_PACK"]))
+    eng.set_record_pack(int(os.environ.get("BENCH_PACK", 8)))
     if "BENCH_LB" in os.environ:
         eng.set_lane_batch(bool(int(os.environ["BENCH_LB"])))
     if "BENCH_TPS" in os.environ:
@@ -94,7 +92,13 @@ def main():
     counts, _ = eng.get_neighbors(0, 0)
     total_pairs = int(jnp.sum(counts))
 
-    step, state0 = eng.make_step_fn()
+    # BENCH_REUSE=1: temporal-coherence step (state carries the cell
+    # structure; exact either way — staleness is detected on device).
+    # The static-cloud steady state is the regime the reference's own
+    # design optimizes for (almost-sorted insertion, persistent node
+    # buffers, TreeNSearch.cpp:417-424).
+    step, state0 = eng.make_step_fn(
+        reuse=os.environ.get("BENCH_REUSE", "0") == "1")
     points_dev = jnp.asarray(pts)
 
     @jax.jit

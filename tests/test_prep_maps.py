@@ -121,3 +121,26 @@ def test_brick_windows_disjoint_and_cover():
             o = opad[t * 128 + lane]
             if o < n:
                 assert lin_by_orig[o] in covered[t], (t, lane, o)
+
+
+def test_cell_table_sort_build_matches_histogram_build():
+    """The sort-compacted dense-table build (n > dense_cap production
+    regime) is bit-identical to the histogram+cumsum build, including
+    empty cells, runs at the table edges, and the table[dense_cap] = n
+    terminator."""
+    import jax.numpy as jnp
+    from treensearch_tpu.ops.fastpath import _cell_table
+
+    rng = np.random.default_rng(3)
+    for trial, (n, dense_cap) in enumerate(
+            [(500, 120), (1000, 64), (130, 128), (257, 8), (2, 1)]):
+        lin = np.sort(rng.integers(0, dense_cap, n)).astype(np.int32)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        t_hist = np.asarray(_cell_table(jnp.asarray(lin), iota, n,
+                                        dense_cap, False))
+        t_sort = np.asarray(_cell_table(jnp.asarray(lin), iota, n,
+                                        dense_cap, True))
+        # independent numpy reference: #points with lin < q
+        want = np.searchsorted(lin, np.arange(dense_cap + 1), side="left")
+        assert np.array_equal(t_hist, want), trial
+        assert np.array_equal(t_sort, want), trial

@@ -47,6 +47,8 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple, Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -56,6 +58,11 @@ from ..utils import keys as K
 from ..utils.compact import compact_rows
 from .grid import GridState, update_grid
 from .pipeline import _empty_solution, _pair_name
+
+
+# sort-compacted dense-table build when n > dense_cap (see _cell_table);
+# env A/B switch, read once at import (part of no jit cache key)
+DEFAULT_TABLE_SORT = os.environ.get("TNS_TABLE_SORT", "1") == "1"
 
 
 class FastKnobs(NamedTuple):
@@ -242,6 +249,52 @@ def _blocked_cumsum(x: jnp.ndarray) -> jnp.ndarray:
     row_off = jnp.concatenate([jnp.zeros((1,), x.dtype),
                                jnp.cumsum(within[:, -1])[:-1]])
     return (within + row_off[:, None]).reshape(-1)[:m]
+
+
+def _cell_table(lin_s: jnp.ndarray, iota: jnp.ndarray, n: int,
+                dense_cap: int, sort_build: bool) -> jnp.ndarray:
+    """Dense cell table: table[q] = number of points with lin < q, i.e.
+    the sorted start index of cell q with empty cells naturally pointing
+    at the next occupied cell.  Two bit-identical builds
+    (tests/test_prep_maps.py):
+
+      sort_build=False: histogram scatter-add over the n sorted ids +
+        blocked cumsum — right when n <= dense_cap.
+      sort_build=True (n > dense_cap): the n-sized scatter dominates
+        (~7 ns/index, ~7 ms at 1M with dense_cap = 262k) — compact the
+        <= dense_cap cell-run BOUNDARIES by one cheap 2-operand sort
+        (~1.3 ms at 1M), scatter each run's first sorted index with min
+        into start_cell, and suffix-min fill: empty cells point at the
+        next occupied run.  Role of the reference's counting pass
+        (``TreeNSearch.cpp:417-424``) on its sorted cell runs.
+    """
+    if sort_build and n > 1:
+        is_b = jnp.concatenate([jnp.ones((1,), jnp.bool_),
+                                lin_s[1:] != lin_s[:-1]])
+        key_b = jnp.where(is_b, lin_s, dense_cap + 1)
+        kb_s, io_s = jax.lax.sort((key_b, iota), num_keys=1)
+        k = min(dense_cap, n)
+        start_cell = jnp.full((dense_cap + 1,), n, jnp.int32).at[
+            kb_s[:k]].min(io_s[:k], mode="drop")
+        return _blocked_rev_cummin(start_cell)
+    hist = jnp.zeros((dense_cap + 1,), jnp.int32).at[lin_s + 1].add(1)
+    return _blocked_cumsum(hist)
+
+
+def _blocked_rev_cummin(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive REVERSE 1-D cummin (suffix minimum) as a blocked 2-level
+    scan (same compile-time rationale as ``_blocked_cumsum``)."""
+    m = x.shape[0]
+    blk = 1 << max(1, (m.bit_length() // 2))
+    pad_len = (-m) % blk
+    big = jnp.iinfo(x.dtype).max
+    x2 = jnp.pad(x, (0, pad_len), constant_values=big).reshape(blk, -1)
+    within = jax.lax.cummin(x2, axis=1, reverse=True)
+    row_first = within[:, 0]
+    row_off = jnp.concatenate([
+        jax.lax.cummin(row_first, axis=0, reverse=True)[1:],
+        jnp.full((1,), big, x.dtype)])
+    return jnp.minimum(within, row_off[:, None]).reshape(-1)[:m]
 
 
 def _blocked_cummax(x: jnp.ndarray) -> jnp.ndarray:
@@ -459,13 +512,8 @@ def _pallas_prep(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     lin_s, idx_s = jax.lax.sort((lin, iota), num_keys=1, is_stable=True)
     r_s = radii[idx_s] if cfg.variable else jnp.zeros((0,), jnp.float32)
 
-    # Dense cell table: table[q] = number of points with lin < q, i.e. the
-    # sorted start index of cell q with empty cells naturally pointing at
-    # the next occupied cell.  Built as histogram + blocked cumsum; the
-    # scatter-add runs over the SORTED ids (same multiset, monotone
-    # destinations batch better in the TPU scatter engine).
-    hist = jnp.zeros((dense_cap + 1,), jnp.int32).at[lin_s + 1].add(1)
-    table = _blocked_cumsum(hist)
+    table = _cell_table(lin_s, iota, n, dense_cap,
+                        n > dense_cap and DEFAULT_TABLE_SORT)
 
     # ---- row-aligned padded layout (see ops/pallas_pairs.py) -----------
     # every occupied grid row ((i, j) fixed) is padded to a multiple
