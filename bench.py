@@ -65,9 +65,10 @@ def main():
     if "BENCH_BRICK" in os.environ:   # "2,2,3" or "" (row tiles)
         v = os.environ["BENCH_BRICK"]
         eng.set_brick(tuple(int(x) for x in v.split(",")) if v else None)
-    if "BENCH_PRE" in os.environ:     # "center,edge"
-        c, e = os.environ["BENCH_PRE"].split(",")
-        eng.set_prestage_caps(int(c), int(e))
+    # measured-best staging widths at 1M (r9f/r9h sweeps: (64,32) beats
+    # the auto-settled (48,40) by ~1.7 ms/step)
+    c, e = os.environ.get("BENCH_PRE", "64,32").split(",")
+    eng.set_prestage_caps(int(c), int(e))
     if "BENCH_REXP" in os.environ:    # expand-kernel record build
         eng._rec_expand = bool(int(os.environ["BENCH_REXP"]))
         eng._rec_expand_user = True
@@ -98,7 +99,7 @@ def main():
     # design optimizes for (almost-sorted insertion, persistent node
     # buffers, TreeNSearch.cpp:417-424).
     step, state0 = eng.make_step_fn(
-        reuse=os.environ.get("BENCH_REUSE", "0") == "1")
+        reuse=os.environ.get("BENCH_REUSE", "1") == "1")
     points_dev = jnp.asarray(pts)
 
     @jax.jit

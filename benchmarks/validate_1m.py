@@ -34,6 +34,10 @@ eng.set_cell_size(float(os.environ.get("BENCH_CELLF", 1.15)) * R)
 if "BENCH_WCAP" in os.environ:
     eng.set_window_cap(int(os.environ["BENCH_WCAP"]))
 eng.set_record_pack(int(os.environ.get("BENCH_PACK", 8)))
+c, e = os.environ.get("BENCH_PRE", "64,32").split(",")
+eng.set_prestage_caps(int(c), int(e))
+if "BENCH_TPS" in os.environ:
+    eng.set_tiles_per_step(int(os.environ["BENCH_TPS"]))
 eng.prepare_zsort()
 pts = np.asarray(eng.apply_zsort(0, pts))
 eng.resize_point_set(0, pts)

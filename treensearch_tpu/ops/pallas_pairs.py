@@ -99,6 +99,9 @@ DEFAULT_COMPACT_V2 = os.environ.get("TNS_COMPACT_V2", "1") == "1"
 # tail (rows >= m-s) is always discarded by the `sub < m-s` guard, so a
 # zero-filled shift is bit-identical.
 DEFAULT_SHIFT_SLICE = os.environ.get("TNS_SHIFT_SLICE", "1") == "1"
+# lane-chunked compaction networks (0 = one full-width network); see
+# _compact_sub — pressure-relief A/B knob, results identical
+DEFAULT_NET_CHUNK = int(os.environ.get("TNS_NET_CHUNK", "0"))
 
 F_X, F_Y, F_Z, F_R, F_ORIG, F_SET = 0, 1, 2, 3, 4, 5
 N_FIELDS = 8    # padded to 8 record columns
@@ -182,6 +185,22 @@ def _compact_sub(mask: jnp.ndarray, vals: jnp.ndarray, out_w: int,
     otherwise two planes (2 rotates) are carried.
     """
     m, q = mask.shape
+    # Lane-chunked scheduling (pressure relief, results identical: lanes
+    # are independent): split wide planes into TNS_NET_CHUNK-lane
+    # sub-networks so Mosaic schedules each with a smaller live set.
+    # probe_r9e measured the network's arithmetic at ~2.9 ms/loop at 1M
+    # while the in-situ cost is ~25 ms — the gap is spill/scheduling,
+    # the one axis the round-4 laws say can pay.
+    if DEFAULT_NET_CHUNK and q > DEFAULT_NET_CHUNK \
+            and q % DEFAULT_NET_CHUNK == 0:
+        ck = DEFAULT_NET_CHUNK
+        return jnp.concatenate(
+            [_compact_sub(mask[:, i:i + ck], vals[:, i:i + ck], out_w,
+                          p=None if p is None else p[:, i:i + ck],
+                          val_bound=val_bound, mxu_prefix=mxu_prefix,
+                          packed_carry=packed_carry,
+                          strides_cap=strides_cap)
+             for i in range(0, q, ck)], axis=1)
     # DEV ONLY (attribution): cap the shift network at `strides_cap`
     # stride steps — displacements >= 2^strides_cap are LOST, results
     # are wrong; used by probes to price the network separately from
