@@ -38,7 +38,11 @@ from treensearch_tpu import TreeNSearch
 BASELINE_PAIRS_PER_S = 1.03e8  # BASELINE.md, AVX2 CPU at 1M points
 N = int(os.environ.get("BENCH_N", 1_000_000))
 RADIUS = float(os.environ.get("BENCH_R", 0.02))
-ITERS = int(os.environ.get("BENCH_ITERS", 10))
+# 50 in-graph iterations: the axon tunnel costs ~40 ms per host
+# dispatch; at ITERS=10 that is ~4 ms/step of tunnel (not engine) time
+# the CPU baseline never paid.  ITERS 20->50 changes the measured step
+# only by that amortization (63.9 -> 62.7 ms, benchmarks/master_r9k.log).
+ITERS = int(os.environ.get("BENCH_ITERS", 50))
 
 
 def main():
