@@ -122,6 +122,25 @@ def test_trace_step_fn_carry_reuse():
         pts, carry0)
 
 
+def test_trace_fused_reduce():
+    # the fused neighbor-reduce (device visitor) at the production knobs,
+    # with a payload and a 3-output callback
+    import jax.numpy as jnp2
+    cfg = _cfg(n_sets=2)
+    knobs = _knobs(pack=8, lane_batch=True, rec_expand=True)
+    rs = fp.ReduceSpec(
+        lambda env: (jnp2.ones_like(env["d2"]), env["d2"], env["p0_j"]),
+        3, True)
+    carry0 = fp.make_fast_carry0(cfg, knobs)
+    pts, _ = _shapes(cfg)
+    pl = jax.ShapeDtypeStruct((cfg.n_points, 2), jnp.float32)
+    jax.eval_shape(
+        lambda p, c, q: fp.build_and_search_fast_carry(
+            p, None, jnp.float32(0.02), jnp.float32(0.022),
+            fresh_state(), c, cfg, knobs, reduce_spec=rs, payload=q),
+        pts, carry0, pl)
+
+
 def test_trace_sharded_fast():
     # multi-chip production config on an 8-device CPU mesh (trace only)
     from jax.sharding import Mesh

@@ -40,8 +40,10 @@ import numpy as np
 
 from .config import SearchConfig, round_up
 from .neighborlist import NeighborList, NeighborSolution
-from .ops.fastpath import (FastKnobs, _pallas_applicable, _pallas_statics,
-                           attach_blocks, build_and_search_fast_carry_jit,
+from .ops.fastpath import (FastKnobs, ReduceSpec, _pallas_applicable,
+                           _pallas_statics, attach_blocks,
+                           build_and_search_fast_carry_jit,
+                           build_and_search_fast_carry_reduce_jit,
                            build_and_search_fast_jit, default_tiles_cap,
                            make_fast_carry0)
 from .ops.grid import GridState, fresh_state
@@ -400,6 +402,82 @@ class TreeNSearch:
         ``TreeNSearch.cpp:150-160``)."""
         self._run(self._chunk_scalar, fast=False)
 
+    def run_reduce(self, fn: Callable, n_out: int = 1,
+                   payload=None) -> dict:
+        """FUSED NEIGHBOR-REDUCE — the device-side visitor.
+
+        Evaluates ``fn`` over every neighbor pair the active searches
+        would emit and sums its outputs per query point INSIDE the pair
+        kernel: no neighbor list is materialized, no compaction runs —
+        for accumulation-style consumers (SPH density/forces, counting,
+        local statistics) this skips the most expensive stages of
+        ``run()``.  TPU-native role of the reference visitor pattern
+        ``for_each_neighbor`` (``TreeNSearch.h:221-258``,
+        ``TreeNSearch.cpp:2571-2596``), fused into the search.
+
+        ``fn(env) -> array | tuple of n_out arrays``: a JAX-traceable
+        elementwise function of the env dict (``dx, dy, dz, d2`` = the
+        candidate-minus-query displacement and squared distance, f32;
+        ``r2_i``; ``orig_i/orig_j``, ``set_i/set_j`` int32; per-point
+        payload planes ``p0_i, p1_i, p0_j, p1_j``; plus ``r_j`` in
+        variable mode).  Outputs are summed in f32 over the query's
+        exact neighbor set (self is excluded, as in ``run()``).  The
+        SAME ``fn`` OBJECT keys the compile cache — define it once.
+
+        ``payload``: optional per-set sequence of (n_i,) or (n_i, <=2)
+        float arrays riding the two spare record fields (e.g. particle
+        masses), visible to ``fn`` as ``p0_j/p1_j`` (candidate side) and
+        ``p0_i/p1_i`` (query side).
+
+        Returns ``{set_index: (n_i, n_out) float32 array}``.  Caps
+        settle/regrow exactly as in ``run()`` (window overflow re-routes
+        through the fat tier and regrows); results are exact for any
+        cap state.
+        """
+        self._check()
+        points, radii = self._assemble()
+        cell = self._effective_cell_size()
+        sr = self._search_radius if not self._variable else 0.0
+        w = self._stencil_w(cell)
+        pl_arr = self._assemble_payload(payload)
+        rs = ReduceSpec(fn, int(n_out), payload is not None)
+        sol = self._execute(points, radii, sr, cell, w, self._chunk,
+                            True, reduce_spec=rs, payload=pl_arr)
+        out = {}
+        for si in range(len(self._sets)):
+            out[si] = np.asarray(sol["reduce"][f"s{si}"]).T
+        self._last_stats = {
+            "n_cells": int(sol["n_cells"]),
+            "cand_max": int(sol["cand_max"]),
+            "max_count": 0,
+            "cell_size": cell,
+            "stencil_w": w,
+            "path": "reduce",
+        }
+        return out
+
+    def _assemble_payload(self, payload):
+        """Per-set payload columns -> one (n_total, 2) f32 device array
+        (zero-padded), aligned with ``_assemble``'s concatenation."""
+        if payload is None:
+            return None
+        if len(payload) != len(self._sets):
+            raise ValueError("payload must have one entry per point set")
+        cols = []
+        for s, p in zip(self._sets, payload):
+            a = np.zeros((s.n, 2), np.float32)
+            if p is not None:
+                p = np.asarray(p, np.float32)
+                if p.ndim == 1:
+                    p = p[:, None]
+                if p.shape[0] != s.n or p.shape[1] > 2:
+                    raise ValueError(
+                        f"payload shape {p.shape} does not match set "
+                        f"size {s.n} (max 2 columns)")
+                a[:, :p.shape[1]] = p
+            cols.append(a)
+        return jnp.asarray(np.concatenate(cols, axis=0))
+
     def _run(self, chunk: int, fast: bool = True) -> None:
         self._check()
         points, radii = self._assemble()
@@ -454,7 +532,8 @@ class TreeNSearch:
                          rec_expand=self._rec_expand,
                          brick=self._brick)
 
-    def _execute(self, points, radii, sr, cell, w, chunk, fast):
+    def _execute(self, points, radii, sr, cell, w, chunk, fast,
+                 reduce_spec=None, payload=None):
         """Run one search with overflow-regrow; returns the clean solution."""
         use_fast = fast
         use_pallas_now = self._use_pallas
@@ -485,7 +564,22 @@ class TreeNSearch:
             self._tiles_auto = True
         for _ in range(_MAX_GROW_ROUNDS):
             cfg = self._make_cfg(chunk, w)
-            if self._mesh is not None:
+            if reduce_spec is not None:
+                knobs = self._knobs(use_pallas_now)._replace(
+                    lane_batch=True)
+                if self._mesh is not None or not use_fast \
+                        or not _pallas_applicable(cfg, knobs) \
+                        or cfg.n_points == 0:
+                    raise NotImplementedError(
+                        "run_reduce requires the single-host Pallas fast "
+                        "path (<= 8 candidate sets, n > 0, no mesh)")
+                carry = self._get_carry(cfg, knobs)
+                sol, state, carry = build_and_search_fast_carry_reduce_jit(
+                    points, radii, payload, jnp.float32(sr),
+                    jnp.float32(cell), self._grid_state, carry, cfg,
+                    knobs, reduce_spec)
+                self._fast_carry = carry
+            elif self._mesh is not None:
                 # multi-chip: domain-decomposed engines with the same
                 # settling loop (route_slack joins the settled caps)
                 from .parallel.sharded import (
@@ -632,7 +726,8 @@ class TreeNSearch:
                 else:
                     self._cand_cap = grown
                 grew = True
-            for (si, sj) in cfg.active_pairs:
+            for (si, sj) in (cfg.active_pairs if reduce_spec is None
+                             else ()):
                 mc = int(sol["pairs"][f"{si}-{sj}"]["max_count"])
                 if mc > self._cap_of(sj):
                     new_cap = round_up(int(mc * 1.25) + 1, 16)
@@ -1066,7 +1161,7 @@ class TreeNSearch:
 
     # ------------------------------------------------------ jit-embedding
     def make_step_fn(self, chunk: Optional[int] = None, fast: bool = True,
-                     reuse: bool = False):
+                     reuse: bool = False, reduce=None):
         """Return ``(step, state0)`` for embedding the search in a jitted
         simulation loop (e.g. under ``lax.scan``) with zero host sync:
 
@@ -1103,6 +1198,30 @@ class TreeNSearch:
             self._tiles_cap = default_tiles_cap(
                 max(self.get_total_n_points(), 1))
         knobs = self._knobs(self._use_pallas)
+
+        if reduce is not None:
+            # fused neighbor-reduce step (see run_reduce): the state is
+            # always the temporal-coherence carry pair, and the step
+            # takes an optional per-point payload operand —
+            #   step(state, points, radii=None, payload=None)
+            # -> ({"reduce": {"s<i>": (n_out, n_i) f32}, ...}, state)
+            rs = reduce if isinstance(reduce, ReduceSpec) \
+                else ReduceSpec(reduce[0], int(reduce[1]))
+            knobs = knobs._replace(lane_batch=True)
+            if not (fast and _pallas_applicable(cfg, knobs)
+                    and cfg.n_points > 0):
+                raise ValueError(
+                    "reduce steps require the Pallas fast path "
+                    "(use_pallas on, <= 8 candidate sets, n > 0)")
+
+            def step(state, points, radii=None, payload=None):
+                grid, carry = state
+                sol, grid, carry = build_and_search_fast_carry_reduce_jit(
+                    points, radii, payload, jnp.float32(sr),
+                    jnp.float32(cell), grid, carry, cfg, knobs, rs)
+                return sol, (grid, carry)
+
+            return step, (fresh_state(), make_fast_carry0(cfg, knobs))
 
         if reuse:
             if not (fast and _pallas_applicable(cfg, knobs)

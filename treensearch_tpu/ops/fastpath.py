@@ -44,6 +44,7 @@ table, the host falls back to ``ops/pipeline.py``.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -139,6 +140,25 @@ class FastKnobs(NamedTuple):
     #                            (lane_batch paths; results WRONG —
     #                            prices the network vs its reblock/
     #                            encode surroundings, probe_r8b)
+
+
+@dataclass(frozen=True)
+class ReduceSpec:
+    """Static key for the fused neighbor-reduce (the device visitor).
+
+    ``fn`` is a JAX-traceable elementwise callback evaluated INSIDE the
+    pairs kernel on candidate planes; it receives a dict env with
+    ``dx, dy, dz, d2, r2_i, orig_i, orig_j, set_i, set_j, p0_i, p1_i,
+    p0_j, p1_j`` (+ ``r_j`` in variable mode) and returns ``n_out``
+    arrays broadcastable against ``d2``; each is summed over the query's
+    exact neighbor set (the same pairs ``run()`` emits).  ``fn`` is part
+    of the jit cache key BY IDENTITY — define it once and reuse the same
+    object, or every call recompiles.  TPU-native role of the reference
+    visitor ``for_each_neighbor`` (TreeNSearch.h:221-258) fused into the
+    search itself."""
+    fn: object
+    n_out: int
+    has_payload: bool = False
 
 
 @jax.jit
@@ -1007,7 +1027,9 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                    cand_sets: Optional[tuple] = None,
                    cand_offsets: Optional[tuple] = None,
                    multi_set: Optional[bool] = None,
-                   raw: bool = False) -> dict:
+                   raw: bool = False,
+                   reduce_spec: Optional[ReduceSpec] = None,
+                   payload: Optional[jnp.ndarray] = None) -> dict:
     """Record build + fused pair kernel + per-pair gathers, all against a
     (possibly reused) ``FastCarry``.
 
@@ -1033,6 +1055,11 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     if multi_set is None:
         multi_set = cfg.n_sets > 1
     n_win = len(offs_2d)
+    reduce_mode = reduce_spec is not None
+    if reduce_mode:
+        assert not raw, "run_reduce does not support the sharded raw mode"
+        assert knobs.lane_batch, "the fused reduce needs lane_batch"
+        assert knobs.skip_stage == 0 and knobs.probe_mode == 0
     caps = cfg.nbr_caps if cfg.nbr_caps is not None \
         else (cfg.nbr_cap,) * cfg.n_sets
     # per-block output row caps (8-row tiling); see pallas_pairs nbr_caps
@@ -1066,6 +1093,14 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         return jax.lax.bitcast_convert_type(x, jnp.int32)
 
     rfield = radii if cfg.variable else jnp.zeros((n,), jnp.float32)
+    # user per-point payload (fused reduce): rides the two spare record
+    # fields, so the kernel sees it per candidate AND per query at zero
+    # extra traffic (the record rows move anyway)
+    if payload is not None:
+        pl0_o = _asbits(payload[:, 0])
+        pl1_o = _asbits(payload[:, 1])
+    else:
+        pl0_o = pl1_o = jnp.zeros((n,), jnp.int32)
     # records are built in ORIGINAL point order (no gathers: the columns
     # are the input arrays themselves), then moved to the padded layout
     # by ONE row gather through the composed original-index map below —
@@ -1073,9 +1108,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     # set_ids[idx_s] 1M-row gathers with a single (NPAD,) index gather
     rec8 = jnp.stack([_asbits(points[:, 0]), _asbits(points[:, 1]),
                       _asbits(points[:, 2]), _asbits(rfield),
-                      orig_o, set_id_o,
-                      jnp.zeros((n,), jnp.int32),
-                      jnp.zeros((n,), jnp.int32)], axis=1)
+                      orig_o, set_id_o, pl0_o, pl1_o], axis=1)
     sent_xyz = jax.lax.bitcast_convert_type(jnp.float32(SENTINEL),
                                             jnp.int32)
     sent = jnp.zeros((N_FIELDS,), jnp.int32)
@@ -1122,6 +1155,9 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
             ops_l.append(_asbits(rfield))
         if carry_sets:
             ops_l.append(set_id_o)
+        if payload is not None:
+            ops_l.append(pl0_o)
+            ops_l.append(pl1_o)
         sorted_ = jax.lax.sort(tuple(ops_l), num_keys=1, is_stable=True)
         xs, ys, zs, os_ = sorted_[1], sorted_[2], sorted_[3], sorted_[4]
         k = 5
@@ -1130,9 +1166,17 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
             k += 1
         else:
             rs_ = jnp.zeros((n,), jnp.int32)
-        ss_ = sorted_[k] if carry_sets else jnp.zeros((n,), jnp.int32)
+        if carry_sets:
+            ss_ = sorted_[k]
+            k += 1
+        else:
+            ss_ = jnp.zeros((n,), jnp.int32)
         z0 = jnp.zeros((n,), jnp.int32)
-        cols = jnp.stack([xs, ys, zs, rs_, os_, ss_, z0, z0], axis=1)
+        if payload is not None:
+            p0s, p1s = sorted_[k], sorted_[k + 1]
+        else:
+            p0s = p1s = z0
+        cols = jnp.stack([xs, ys, zs, rs_, os_, ss_, p0s, p1s], axis=1)
         if lpp > N_FIELDS:
             cols = jnp.pad(cols, ((0, 0), (0, lpp - N_FIELDS)))
         rpt = 128 // pack
@@ -1149,7 +1193,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
             [cols, jnp.broadcast_to(sent_l[None], (pad_pts, lpp))]
         ).reshape(n_rows_src, 128)
         recsT = jnp.concatenate(
-            [jnp.stack([xs, ys, zs, rs_, os_, ss_, z0, z0], axis=0),
+            [jnp.stack([xs, ys, zs, rs_, os_, ss_, p0s, p1s], axis=0),
              jnp.broadcast_to(sent[:, None], (N_FIELDS, 384))], axis=1)
         expand = make_expand_call(
             tiles_cap, tiles_cap, pack,
@@ -1168,18 +1212,23 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
 
     # asymmetric per-window staging: the center windows (the query's own
     # cell rows) hold the most survivors; edges need less
-    pre_c = min(round_up(knobs.pre_cap, 8), max(k8s))
-    pre_e = min(round_up(knobs.pre_edge, 8), pre_c)
     center_wins = st["center_wins"]
-    pre_caps = tuple(pre_c if i in center_wins else pre_e
-                     for i in range(n_win))
+    if reduce_mode:
+        # no staging exists in reduce mode; minimal widths satisfy the
+        # kernel's shape contract and keep the (unused) scratch tiny
+        pre_caps = (8,) * n_win
+    else:
+        pre_c = min(round_up(knobs.pre_cap, 8), max(k8s))
+        pre_e = min(round_up(knobs.pre_edge, 8), pre_c)
+        pre_caps = tuple(pre_c if i in center_wins else pre_e
+                         for i in range(n_win))
     # shared-compaction gate: packed (set_id << orig_bits | orig) must fit
     # int32 for every set id that can appear in a window (all n_sets, not
     # just candidate sets) and every orig (incl. the sentinel n); raw mode
     # carries global indices whose bound the local cfg does not know
     orig_bits = int(n + 1).bit_length()
     shared = (knobs.shared_compact and knobs.lane_batch and multi_set
-              and len(cand_sets) > 1 and not raw
+              and len(cand_sets) > 1 and not raw and not reduce_mode
               and ((cfg.n_sets - 1) << orig_bits) + n + 1 < 2 ** 31 - 1)
     kargs = dict(variable=cfg.variable, symmetric=cfg.symmetric,
                  cand_sets=cand_sets, cand_offsets=cand_offsets,
@@ -1195,7 +1244,10 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                  packed_carry=knobs.packed_carry,
                  phase_prefix=knobs.phase_prefix,
                  lane_batch=knobs.lane_batch,
-                 probe_mode=knobs.probe_mode, net_cap=knobs.net_cap)
+                 probe_mode=knobs.probe_mode, net_cap=knobs.net_cap,
+                 reduce_fn=reduce_spec.fn if reduce_mode else None,
+                 reduce_n_out=reduce_spec.n_out if reduce_mode else 0,
+                 reduce_active=cfg.active_pairs if reduce_mode else ())
     n_blocks_dbg = len(cand_sets)
     if knobs.skip_stage >= 5:
         # DEV: bypass the pallas calls entirely (XLA-side floor); >= 6
@@ -1225,13 +1277,56 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         outs_f = fat(fat_cap, carry.desc, params, q_t, rec_pad,
                      ids=carry.fat_ids)
 
+    lane_grid = jnp.broadcast_to(jnp.arange(PTILE, dtype=jnp.int32),
+                                 (fat_cap, PTILE))
+    fat_rows = carry.fat_ids[:, None] * PTILE + lane_grid
+
+    from .pallas_pairs import FAT_COL as _FC2
+    if reduce_mode:
+        # ---- fused-reduce epilogue: merge tiers, gather per point ------
+        # the narrow tier zero-fills skipped (fat) tiles, so one small
+        # (fat_cap x 128) scatter overwrites them with the fat tier's
+        # accumulators — the exact analog of the counts merge below
+        red_n, red_f = outs_n[0], outs_f[0]
+        frows = fat_rows.reshape(-1)
+        flats = []
+        for k in range(reduce_spec.n_out):
+            base = red_n[k::8].reshape(-1)
+            fv = red_f[k::8].reshape(-1)
+            flats.append(base.at[frows].set(fv, mode="drop"))
+        stk = jax.lax.optimization_barrier(jnp.stack(flats, axis=0))
+        gathered = jax.lax.optimization_barrier(stk[:, carry.qpos])
+        red = {}
+        for si in range(cfg.n_sets):
+            red[f"s{si}"] = jax.lax.dynamic_slice_in_dim(
+                gathered, cfg.set_offsets[si], max(cfg.set_sizes[si], 1),
+                axis=1)[:, :cfg.set_sizes[si]]
+        tiles_used_r = jnp.sum(
+            (carry.desc[:tiles_cap, _FC2] != 2).astype(jnp.int32))
+        return {
+            "reduce": red,
+            "pairs": {},
+            "cand_max": jnp.where(carry.fat_overflow > 0,
+                                  carry.win_max, 0),
+            "n_cells": carry.n_cells_stat,
+            "error": state.error,
+            "dense_overflow": carry.dense_overflow,
+            "straddle": jnp.zeros((), jnp.int32),
+            "pallas_used": jnp.ones((), jnp.int32),
+            # no staging exists in reduce mode -> no pre-cap regrow
+            "pre_surv_max": jnp.zeros((), jnp.int32),
+            "pre_surv_edge_max": jnp.zeros((), jnp.int32),
+            "tile_overflow": carry.tile_overflow,
+            "rows_overflow": carry.rows_overflow,
+            "tiles_used": tiles_used_r,
+            "win_hist": carry.win_hist,
+            "win_max": carry.win_max,
+        }
+
     pairs = {}
     # one kernel output block per DISTINCT candidate set; pairs that
     # share set_j share the block arrays (the neighbor set of a query
     # against set_j does not depend on the query's own set)
-    lane_grid = jnp.broadcast_to(jnp.arange(PTILE, dtype=jnp.int32),
-                                 (fat_cap, PTILE))
-    fat_rows = carry.fat_ids[:, None] * PTILE + lane_grid
     blk = {}
     n_cnt = (len(cand_sets) + 2 + 7) // 8
     for b, sj in enumerate(cand_sets):
@@ -1379,7 +1474,9 @@ def build_and_search_fast_carry(points: jnp.ndarray,
                                 state: GridState,
                                 carry: FastCarry,
                                 cfg: SearchConfig,
-                                knobs: FastKnobs
+                                knobs: FastKnobs,
+                                reduce_spec: Optional[ReduceSpec] = None,
+                                payload: Optional[jnp.ndarray] = None,
                                 ) -> tuple[dict, GridState, FastCarry]:
     """Temporal-coherence step: reuse the carried cell structure when no
     point changed cells (the reference's core coherence trick,
@@ -1412,7 +1509,8 @@ def build_and_search_fast_carry(points: jnp.ndarray,
         lambda: _pallas_prep(points, radii, state, cfg,
                              knobs)._replace(lin_chk=lin))
     sol = _pallas_search(points, radii, search_radius, state, carry,
-                         cfg, knobs)
+                         cfg, knobs, reduce_spec=reduce_spec,
+                         payload=payload)
     sol["rebuilt"] = jnp.logical_not(same).astype(jnp.int32)
     return sol, state, carry
 
@@ -1423,6 +1521,19 @@ def build_and_search_fast_carry_jit(points, radii, search_radius, cell_size,
                                     knobs: FastKnobs):
     return build_and_search_fast_carry(points, radii, search_radius,
                                        cell_size, state, carry, cfg, knobs)
+
+
+@partial(jax.jit, static_argnames=("cfg", "knobs", "reduce_spec"))
+def build_and_search_fast_carry_reduce_jit(points, radii, payload,
+                                           search_radius, cell_size,
+                                           state, carry, cfg: SearchConfig,
+                                           knobs: FastKnobs,
+                                           reduce_spec: ReduceSpec):
+    """Fused neighbor-reduce step (see ReduceSpec / api.run_reduce)."""
+    return build_and_search_fast_carry(points, radii, search_radius,
+                                       cell_size, state, carry, cfg, knobs,
+                                       reduce_spec=reduce_spec,
+                                       payload=payload)
 
 
 def build_and_search_fast(points: jnp.ndarray,

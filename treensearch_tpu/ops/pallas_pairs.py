@@ -455,7 +455,9 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     lane_batch: bool = False,
                     shared_blocks: bool = False, orig_bits: int = 31,
                     n_sets_total: int = 1,
-                    probe_mode: int = 0, net_cap: int = 0):
+                    probe_mode: int = 0, net_cap: int = 0,
+                    reduce_fn=None, reduce_n_out: int = 0,
+                    reduce_active: tuple = ()):
     """Build a pallas_call for one tier.
 
     Narrow tier (``fat_tier=False``): grid over all tiles; tiles whose
@@ -491,11 +493,25 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
     counts arrays were the second-largest allocation after the fluid
     neighbor block.
     """
-    n_blocks = len(cand_sets)
-    n_cnt = (n_blocks + 2 + 7) // 8  # shared counts arrays
+    reduce_mode = reduce_fn is not None
+    if reduce_mode:
+        # FUSED NEIGHBOR-REDUCE (the device-side visitor, see run_reduce):
+        # one f32 output group per tile (reduce_n_out accumulator rows),
+        # no staged CSR blocks.  Requires the lane-batched pipeline.
+        assert lane_batch and not shared_blocks and not probe_mode
+        assert 1 <= reduce_n_out <= 8
+        n_blocks = 0
+        n_cnt = 1
+        nbr_caps = ()
+    else:
+        n_blocks = len(cand_sets)
+        n_cnt = (n_blocks + 2 + 7) // 8  # shared counts arrays
+        assert len(nbr_caps) == n_blocks \
+            and all(k % 8 == 0 for k in nbr_caps)
+        assert 1 <= n_blocks <= 8, \
+            "pallas kernel supports <= 8 candidate sets"
+    out_dt = jnp.float32 if reduce_mode else jnp.int32
     assert n_win <= LENS_OFF, "pallas kernel supports stencil_w <= 3"
-    assert len(nbr_caps) == n_blocks and all(k % 8 == 0 for k in nbr_caps)
-    assert 1 <= n_blocks <= 8, "pallas kernel supports <= 8 candidate sets"
     assert 128 % pack == 0 and 128 // pack >= N_FIELDS
     assert wcap % (8 * pack) == 0, "wcap must tile the packed rows"
     pre_caps = tuple(min(pc, wcap) for pc in pre_caps)
@@ -613,6 +629,114 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                                                 + pm.astype(jnp.int32))
                 out_refs[0][co:co + 1, :] = jnp.sum(
                     outc[0:wrows, :], axis=0, keepdims=True)
+            return
+
+        if reduce_mode:
+            # FUSED NEIGHBOR-REDUCE: the exact window DMA + mask pipeline
+            # of the pairs path (same crit/bounds/self-exclusion, so the
+            # visited pair set is bit-identical to run()), but survivor
+            # records are never compacted — the user-traced ``reduce_fn``
+            # maps each candidate plane to contributions that fold into
+            # per-query f32 accumulators.  The staging network, the MXU
+            # prefixes and the merge (the dominant kernel terms, see
+            # benchmarks/NOTES.md round 5) all disappear.  TPU analog of
+            # the reference visitor ``for_each_neighbor``
+            # (TreeNSearch.h:221-258) fused into the search itself.
+            @pl.when(_run_pred(desc_ref, row))
+            def _():
+                qx = _f32(qt_ref[F_X:F_X + 1, qo:qo + TILE])
+                qy = _f32(qt_ref[F_Y:F_Y + 1, qo:qo + TILE])
+                qz = _f32(qt_ref[F_Z:F_Z + 1, qo:qo + TILE])
+                q_orig = qt_ref[F_ORIG:F_ORIG + 1, qo:qo + TILE]
+                q_set = qt_ref[F_SET:F_SET + 1, qo:qo + TILE]
+                my_r2 = _f32(qt_ref[F_R:F_R + 1, qo:qo + TILE]) ** 2
+                qp0 = _f32(qt_ref[6:7, qo:qo + TILE])
+                qp1 = _f32(qt_ref[7:8, qo:qo + TILE])
+                for w in range(n_win):
+                    pltpu.make_async_copy(
+                        rec_ref.at[pl.ds(desc_ref[row, w] // pack, wrows)],
+                        win.at[bank, pl.ds(w * wrows, wrows)],
+                        sems.at[bank, w]).wait()
+                rows_all = n_win * wrows
+                sub_all = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows_all, 1), 0)
+                wid = sub_all // wrows
+                rowmod = sub_all - wid * wrows
+                ln_vec = jnp.zeros((rows_all, 1), jnp.int32)
+                ph_vec = jnp.zeros((rows_all, 1), jnp.int32)
+                for w in range(n_win):
+                    sel = wid == w
+                    ln_vec = jnp.where(sel, desc_ref[row, LENS_OFF + w],
+                                       ln_vec)
+                    ph_vec = jnp.where(sel, desc_ref[row, w] % pack,
+                                       ph_vec)
+                not_center = wid != center_wins[0]
+                for cw in center_wins[1:]:
+                    not_center = not_center & (wid != cw)
+                accs = [jnp.zeros((1, TILE), jnp.float32)
+                        for _ in range(reduce_n_out)]
+                for f in range(pack):
+                    o = f * lpp
+                    wx = _f32(win[bank, :, o + F_X:o + F_X + 1])
+                    wy = _f32(win[bank, :, o + F_Y:o + F_Y + 1])
+                    wz = _f32(win[bank, :, o + F_Z:o + F_Z + 1])
+                    wo = win[bank, :, o + F_ORIG:o + F_ORIG + 1]
+                    ws = win[bank, :, o + F_SET:o + F_SET + 1]
+                    ddx = wx - qx
+                    ddy = wy - qy
+                    ddz = wz - qz
+                    d2 = (ddx * ddx + ddy * ddy) + ddz * ddz
+                    if variable:
+                        crit = d2 <= my_r2
+                        if symmetric:
+                            wr = _f32(win[bank, :, o + F_R:o + F_R + 1])
+                            crit = crit | (d2 <= wr * wr)
+                    else:
+                        crit = d2 <= r2_fixed
+                    off = rowmod * pack + (f - ph_vec)
+                    pm = crit & ((off >= 0) & (off < ln_vec))
+                    pm = pm & (not_center | (wo != q_orig))
+                    # the ACTIVE MATRIX is applied per (query set row x
+                    # candidate set) so the reduce folds exactly the pairs
+                    # run() would emit — queries of sets with no active
+                    # search get 0
+                    if n_sets_total > 1:
+                        am = None
+                        for si in range(n_sets_total):
+                            allowed = tuple(sj for (i, sj) in reduce_active
+                                            if i == si)
+                            if not allowed:
+                                continue
+                            rm = ws == allowed[0]
+                            for sj in allowed[1:]:
+                                rm = rm | (ws == sj)
+                            t = (q_set == si) & rm
+                            am = t if am is None else (am | t)
+                        pm = pm & am
+                    env = {
+                        "dx": ddx, "dy": ddy, "dz": ddz, "d2": d2,
+                        "r2_i": my_r2,
+                        "orig_i": q_orig, "orig_j": wo,
+                        "set_i": q_set, "set_j": ws,
+                        "p0_i": qp0, "p1_i": qp1,
+                        "p0_j": _f32(win[bank, :, o + 6:o + 7]),
+                        "p1_j": _f32(win[bank, :, o + 7:o + 8]),
+                    }
+                    if variable:
+                        env["r_j"] = _f32(win[bank, :,
+                                              o + F_R:o + F_R + 1])
+                    outs = reduce_fn(env)
+                    if not isinstance(outs, (tuple, list)):
+                        outs = (outs,)
+                    assert len(outs) == reduce_n_out, \
+                        "reduce_fn returned a different arity than n_out"
+                    for k in range(reduce_n_out):
+                        v = jnp.asarray(outs[k]).astype(jnp.float32)
+                        accs[k] = accs[k] + jnp.sum(
+                            jnp.where(pm, v, jnp.float32(0.0)),
+                            axis=0, keepdims=True)
+                for k in range(reduce_n_out):
+                    out_refs[0][co + k:co + k + 1, :] = accs[k]
             return
 
         if lane_batch:
@@ -1092,7 +1216,7 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
         if skip_stage >= 4:   # dev: measure the pure pipeline (no writes)
             return
         for c in range(n_cnt):
-            out_refs[c][:, :] = jnp.zeros((8 * G, TILE), jnp.int32)
+            out_refs[c][:, :] = jnp.zeros((8 * G, TILE), out_dt)
         for b in range(n_blocks):
             # the nbr block needs no -1 fill on the fast path: the merge
             # writes rows [0, min(cap, m2)) for every processed tile
@@ -1163,8 +1287,8 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
         # lane_batch stages all windows contiguously (one buffer per bank)
         pltpu.VMEM((n_banks, n_win * wrows, 128), jnp.int32) if lane_batch
         else pltpu.VMEM((n_banks, n_win, wrows, 128), jnp.int32),
-        pltpu.VMEM((n_blocks * m2, TILE), jnp.int32),
-        pltpu.VMEM((n_blocks * nw8, TILE), jnp.int32),
+        pltpu.VMEM((max(n_blocks * m2, 8), TILE), jnp.int32),
+        pltpu.VMEM((max(n_blocks * nw8, 8), TILE), jnp.int32),
         pltpu.SemaphoreType.DMA((n_banks, n_win)),
     ]
 
@@ -1172,7 +1296,7 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
         # n_tiles tiles total; the narrow tier runs G of them per grid step
         assert fat_tier or n_tiles % G == 0
         n_grid = n_tiles if fat_tier else n_tiles // G
-        out_shape = [jax.ShapeDtypeStruct((n_tiles * 8, TILE), jnp.int32)
+        out_shape = [jax.ShapeDtypeStruct((n_tiles * 8, TILE), out_dt)
                      for _ in range(n_cnt)]
         for b in range(n_blocks):
             out_shape.append(jax.ShapeDtypeStruct(
