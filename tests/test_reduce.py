@@ -12,6 +12,7 @@ compared at f32-accumulation tolerance (the kernel sums in a different
 order than numpy).
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -135,3 +136,53 @@ def test_reduce_fat_tier_and_step_fn():
     exp2 = np.where(mask2, mass[None, :], 0).sum(1, dtype=np.float64)
     assert int(sol2["rebuilt"]) == 1  # points moved cells
     assert np.allclose(g2, exp2, rtol=3e-5, atol=1e-6)
+
+
+def test_reduce_sharded_matches_oracle():
+    """Sharded fused reduce on the 8-device CPU mesh: slab-local kernels
+    fold the visitor over owned queries with the GLOBAL active-matrix
+    mask (data-driven set ids); accumulators route home by all_to_all."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from treensearch_tpu.config import SearchConfig
+    from treensearch_tpu.ops.fastpath import FastKnobs, ReduceSpec
+    from treensearch_tpu.parallel.sharded import (
+        build_and_search_sharded_reduce_jit)
+    from treensearch_tpu.ops.grid import fresh_state
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        pytest.skip("need 8 devices")
+    mesh = Mesh(np.array(devs[:8]), ("d",))
+    n0, n1 = 600, 360
+    pts = RNG.uniform(0, 1, (n0 + n1, 3)).astype(np.float32)
+    active = ((0, 0), (0, 1), (1, 0))
+    cfg = SearchConfig(
+        set_sizes=(n0, n1), active_pairs=active,
+        variable=False, symmetric=False,
+        stencil_w=1, chunk=64, cand_cap=512, nbr_cap=96)
+    knobs = FastKnobs(wcap=64, dense_cap=1 << 13, use_pallas=True,
+                      pre_cap=48, pre_edge=48, interpret=True,
+                      fat_cap=8, tiles_cap=96, pack=8, lane_batch=True,
+                      rec_expand=True)
+    rs = ReduceSpec(
+        lambda env: (jnp.ones_like(env["d2"]), env["d2"]), 2)
+    sharded = jax.device_put(jnp.asarray(pts),
+                             NamedSharding(mesh, P("d")))
+    sol, _ = build_and_search_sharded_reduce_jit(
+        sharded, None, jnp.float32(0.1), jnp.float32(0.15),
+        fresh_state(), cfg, mesh, knobs, rs)
+    for flag in ("route_overflow", "tile_overflow", "rows_overflow",
+                 "dense_overflow"):
+        assert int(sol[flag]) == 0, flag
+    assert int(sol["cand_max"]) == 0
+
+    sid = np.repeat(np.arange(2), [n0, n1])
+    mask, d2 = _mask(pts, sid, active, R=0.1)
+    cnt = mask.sum(1).astype(np.float32)
+    sd2 = np.where(mask, d2, 0).sum(1, dtype=np.float64)
+    offs = [0, n0, n0 + n1]
+    for si in range(2):
+        got = np.asarray(sol["reduce"][f"s{si}"])
+        sl = slice(offs[si], offs[si + 1])
+        assert np.array_equal(got[0], cnt[sl]), f"set {si} counts"
+        assert np.allclose(got[1], sd2[sl], rtol=3e-5, atol=1e-6)

@@ -567,18 +567,31 @@ class TreeNSearch:
             if reduce_spec is not None:
                 knobs = self._knobs(use_pallas_now)._replace(
                     lane_batch=True)
-                if self._mesh is not None or not use_fast \
-                        or not _pallas_applicable(cfg, knobs) \
+                if not use_fast or not _pallas_applicable(cfg, knobs) \
                         or cfg.n_points == 0:
                     raise NotImplementedError(
-                        "run_reduce requires the single-host Pallas fast "
-                        "path (<= 8 candidate sets, n > 0, no mesh)")
-                carry = self._get_carry(cfg, knobs)
-                sol, state, carry = build_and_search_fast_carry_reduce_jit(
-                    points, radii, payload, jnp.float32(sr),
-                    jnp.float32(cell), self._grid_state, carry, cfg,
-                    knobs, reduce_spec)
-                self._fast_carry = carry
+                        "run_reduce requires the Pallas fast path "
+                        "(<= 8 candidate sets, n > 0)")
+                if self._mesh is not None:
+                    if payload is not None:
+                        raise NotImplementedError(
+                            "sharded run_reduce does not route payloads "
+                            "yet; fold per-set constants into fn via "
+                            "env['set_j']")
+                    from .parallel.sharded import (
+                        build_and_search_sharded_reduce_jit)
+                    sol, state = build_and_search_sharded_reduce_jit(
+                        points, radii, jnp.float32(sr), jnp.float32(cell),
+                        self._grid_state, cfg, self._mesh, knobs,
+                        reduce_spec, self._mesh_axis, self._route_slack)
+                else:
+                    carry = self._get_carry(cfg, knobs)
+                    sol, state, carry = \
+                        build_and_search_fast_carry_reduce_jit(
+                            points, radii, payload, jnp.float32(sr),
+                            jnp.float32(cell), self._grid_state, carry,
+                            cfg, knobs, reduce_spec)
+                    self._fast_carry = carry
             elif self._mesh is not None:
                 # multi-chip: domain-decomposed engines with the same
                 # settling loop (route_slack joins the settled caps)

@@ -1029,7 +1029,8 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                    multi_set: Optional[bool] = None,
                    raw: bool = False,
                    reduce_spec: Optional[ReduceSpec] = None,
-                   payload: Optional[jnp.ndarray] = None) -> dict:
+                   payload: Optional[jnp.ndarray] = None,
+                   reduce_active: Optional[tuple] = None) -> dict:
     """Record build + fused pair kernel + per-pair gathers, all against a
     (possibly reused) ``FastCarry``.
 
@@ -1057,9 +1058,12 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     n_win = len(offs_2d)
     reduce_mode = reduce_spec is not None
     if reduce_mode:
-        assert not raw, "run_reduce does not support the sharded raw mode"
         assert knobs.lane_batch, "the fused reduce needs lane_batch"
         assert knobs.skip_stage == 0 and knobs.probe_mode == 0
+        assert not (raw and payload is not None), \
+            "sharded reduce does not route payloads yet"
+        if reduce_active is None:
+            reduce_active = cfg.active_pairs
     caps = cfg.nbr_caps if cfg.nbr_caps is not None \
         else (cfg.nbr_cap,) * cfg.n_sets
     # per-block output row caps (8-row tiling); see pallas_pairs nbr_caps
@@ -1247,7 +1251,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                  probe_mode=knobs.probe_mode, net_cap=knobs.net_cap,
                  reduce_fn=reduce_spec.fn if reduce_mode else None,
                  reduce_n_out=reduce_spec.n_out if reduce_mode else 0,
-                 reduce_active=cfg.active_pairs if reduce_mode else ())
+                 reduce_active=reduce_active if reduce_mode else ())
     n_blocks_dbg = len(cand_sets)
     if knobs.skip_stage >= 5:
         # DEV: bypass the pallas calls entirely (XLA-side floor); >= 6
@@ -1295,6 +1299,24 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
             fv = red_f[k::8].reshape(-1)
             flats.append(base.at[frows].set(fv, mode="drop"))
         stk = jax.lax.optimization_barrier(jnp.stack(flats, axis=0))
+        if raw:
+            # sharded mode: the caller gathers owned rows through its own
+            # qpos slice and routes them home (parallel/sharded.py)
+            return {
+                "reduce_flat": stk,
+                "cand_max": jnp.where(carry.fat_overflow > 0,
+                                      carry.win_max, 0),
+                "n_cells": carry.n_cells_stat,
+                "error": state.error,
+                "dense_overflow": carry.dense_overflow,
+                "pallas_used": jnp.ones((), jnp.int32),
+                "pre_surv_max": jnp.zeros((), jnp.int32),
+                "pre_surv_edge_max": jnp.zeros((), jnp.int32),
+                "tile_overflow": carry.tile_overflow,
+                "rows_overflow": carry.rows_overflow,
+                "tiles_used": jnp.sum(
+                    (carry.desc[:tiles_cap, _FC2] != 2).astype(jnp.int32)),
+            }
         gathered = jax.lax.optimization_barrier(stk[:, carry.qpos])
         red = {}
         for si in range(cfg.n_sets):

@@ -503,6 +503,13 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
         n_blocks = 0
         n_cnt = 1
         nbr_caps = ()
+        # set-mask breadth: reduce_active carries GLOBAL set indices (in
+        # sharded raw mode the local cfg sees one set but the records
+        # carry data-driven global ids), so the active-matrix mask loops
+        # over the widest of the two
+        red_nsets = (max(max(i, j) for (i, j) in reduce_active) + 1
+                     if reduce_active else 1)
+        ns_mask = max(red_nsets, n_sets_total)
     else:
         n_blocks = len(cand_sets)
         n_cnt = (n_blocks + 2 + 7) // 8  # shared counts arrays
@@ -700,9 +707,9 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     # candidate set) so the reduce folds exactly the pairs
                     # run() would emit — queries of sets with no active
                     # search get 0
-                    if n_sets_total > 1:
+                    if ns_mask > 1:
                         am = None
-                        for si in range(n_sets_total):
+                        for si in range(ns_mask):
                             allowed = tuple(sj for (i, sj) in reduce_active
                                             if i == si)
                             if not allowed:

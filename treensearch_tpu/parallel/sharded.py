@@ -312,7 +312,8 @@ def build_and_search_sharded_fast(points: jnp.ndarray,
                                   mesh: Mesh,
                                   knobs: "fp.FastKnobs",
                                   axis: str = "d",
-                                  route_slack: float = 2.5
+                                  route_slack: float = 2.5,
+                                  reduce_spec=None,
                                   ) -> tuple[dict, GridState]:
     """Sharded search through the FLAGSHIP dense-table fast engine.
 
@@ -409,7 +410,12 @@ def build_and_search_sharded_fast(points: jnp.ndarray,
             pts_a, rad_a, search_radius, st, carry, local_cfg, knobs,
             set_ids_data=set_a, orig_ids=orig_a, sentinel_orig=n,
             cand_sets=cand_sets, cand_offsets=cand_offsets,
-            multi_set=cfg.n_sets > 1, raw=True)
+            multi_set=cfg.n_sets > 1, raw=True,
+            reduce_spec=reduce_spec,
+            # the local cfg sees one set; the records carry GLOBAL
+            # data-driven set ids, so the kernel's active-matrix mask
+            # needs the GLOBAL pairs
+            reduce_active=cfg.active_pairs)
 
         # owned rows [0, L) of `local` -> padded slots -> tier select
         ppos = carry.qpos[:L]
@@ -421,6 +427,19 @@ def build_and_search_sharded_fast(points: jnp.ndarray,
                    sol["dense_overflow"], sol["cand_max"],
                    sol["pre_surv_max"], sol["pre_surv_edge_max"]])[None]}
         mine_valid = local[:L, _F_ORIG] < n
+        gidx = jnp.where(valid_l & (pos < S), owner * S + pos, 0)
+        if reduce_spec is not None:
+            # fused reduce: gather each owned row's accumulators from the
+            # merged tile layout, zero invalid rows, and route them home
+            # with the same all_to_all + origin gather as the counts
+            vals = sol["reduce_flat"][:, ppos].T      # (L, n_out)
+            vals = jnp.where(mine_valid[:, None], vals, 0.0)
+            ret = jax.lax.all_to_all(
+                vals.reshape(n_dev, S, reduce_spec.n_out), axis,
+                split_axis=0, concat_axis=0,
+                tiled=False).reshape(L, reduce_spec.n_out)
+            out["reduce"] = jnp.where(valid_l[:, None], ret[gidx], 0.0)
+            return out
         for b, sj in enumerate(cand_sets):
             blkj = sol["blocks"][sj]
             counts_l = jnp.where(mine_valid, blkj["counts_flat"][ppos], 0)
@@ -439,7 +458,6 @@ def build_and_search_sharded_fast(points: jnp.ndarray,
                 nbrs_l.reshape(n_dev, S, k8s[sj]), axis,
                 split_axis=0, concat_axis=0,
                 tiled=False).reshape(L, k8s[sj])
-            gidx = jnp.where(valid_l & (pos < S), owner * S + pos, 0)
             out[f"cs{sj}"] = {
                 "counts": jnp.where(valid_l, ret_c[gidx], 0),
                 "nbrs": jnp.where(valid_l[:, None], ret_n[gidx], -1),
@@ -448,16 +466,41 @@ def build_and_search_sharded_fast(points: jnp.ndarray,
 
     in_specs = (P(axis), P(axis), P(axis), P(axis), P())
     out_specs = {"route_overflow": P(axis), "flags": P(axis)}
-    for sj in cand_sets:
-        out_specs[f"cs{sj}"] = {"counts": P(axis), "nbrs": P(axis)}
+    if reduce_spec is not None:
+        out_specs["reduce"] = P(axis)
+    else:
+        for sj in cand_sets:
+            out_specs[f"cs{sj}"] = {"counts": P(axis), "nbrs": P(axis)}
     mapped = jax.shard_map(
         device_program, mesh=mesh,
         in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
     )(pts_in, rad_in, orig_in, set_in, state)
 
-    pairs = _origin_views(mapped, cfg, lambda si, sj: f"cs{sj}")
     flags = jnp.max(mapped["flags"], axis=0)
+    if reduce_spec is not None:
+        red_all = mapped["reduce"]           # (n_in, n_out), origin order
+        red = {}
+        for si in range(cfg.n_sets):
+            off = cfg.set_offsets[si]
+            red[f"s{si}"] = red_all[off:off + cfg.set_sizes[si]].T
+        solution = {
+            "reduce": red,
+            "pairs": {},
+            "cand_max": flags[3],
+            "n_cells": jnp.zeros((), jnp.int32),
+            "error": state.error,
+            "route_overflow": jnp.max(mapped["route_overflow"]),
+            "tile_overflow": flags[0],
+            "rows_overflow": flags[1],
+            "dense_overflow": flags[2],
+            "pre_surv_max": flags[4],
+            "pre_surv_edge_max": flags[5],
+            "pallas_used": jnp.ones((), jnp.int32),
+        }
+        return solution, state
+
+    pairs = _origin_views(mapped, cfg, lambda si, sj: f"cs{sj}")
     solution = {
         "pairs": pairs,
         "cand_max": flags[3],
@@ -492,6 +535,26 @@ def build_and_search_sharded_fast_jit(points, radii, search_radius,
     return build_and_search_sharded_fast(points, radii, search_radius,
                                          cell_size, state, cfg, mesh, knobs,
                                          axis, route_slack)
+
+
+@partial(jax.jit,
+         static_argnames=("cfg", "knobs", "mesh", "axis", "route_slack",
+                          "reduce_spec"))
+def build_and_search_sharded_reduce_jit(points, radii, search_radius,
+                                        cell_size, state,
+                                        cfg: SearchConfig,
+                                        mesh: Mesh, knobs: "fp.FastKnobs",
+                                        reduce_spec,
+                                        axis: str = "d",
+                                        route_slack: float = 2.5):
+    """Sharded fused neighbor-reduce (see fastpath.ReduceSpec): each
+    device folds the visitor over its owned queries' exact neighbor
+    sets and the per-point accumulators route home with the counts'
+    all_to_all pattern."""
+    return build_and_search_sharded_fast(points, radii, search_radius,
+                                         cell_size, state, cfg, mesh, knobs,
+                                         axis, route_slack,
+                                         reduce_spec=reduce_spec)
 
 
 def make_sharded_step(cfg: SearchConfig, mesh: Mesh, cell_size: float,
