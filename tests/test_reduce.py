@@ -138,10 +138,14 @@ def test_reduce_fat_tier_and_step_fn():
     assert np.allclose(g2, exp2, rtol=3e-5, atol=1e-6)
 
 
-def test_reduce_sharded_matches_oracle():
+@pytest.mark.parametrize("with_payload", [False, True])
+def test_reduce_sharded_matches_oracle(with_payload):
     """Sharded fused reduce on the 8-device CPU mesh: slab-local kernels
     fold the visitor over owned queries with the GLOBAL active-matrix
-    mask (data-driven set ids); accumulators route home by all_to_all."""
+    mask (data-driven set ids); accumulators route home by all_to_all.
+    With payload: the per-point columns ride the routed record rows, so
+    halo-slab candidates must see correct p0_j too (the oracle sums over
+    ALL neighbors, owned and halo alike)."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from treensearch_tpu.config import SearchConfig
     from treensearch_tpu.ops.fastpath import FastKnobs, ReduceSpec
@@ -164,13 +168,22 @@ def test_reduce_sharded_matches_oracle():
                       pre_cap=48, pre_edge=48, interpret=True,
                       fat_cap=8, tiles_cap=96, pack=8, lane_batch=True,
                       rec_expand=True)
-    rs = ReduceSpec(
-        lambda env: (jnp.ones_like(env["d2"]), env["d2"]), 2)
     sharded = jax.device_put(jnp.asarray(pts),
                              NamedSharding(mesh, P("d")))
+    if with_payload:
+        mass = RNG.uniform(0.5, 1.5, n0 + n1).astype(np.float32)
+        pl = jnp.asarray(np.stack([mass, np.zeros_like(mass)], 1))
+        pl = jax.device_put(pl, NamedSharding(mesh, P("d")))
+        rs = ReduceSpec(
+            lambda env: (jnp.ones_like(env["d2"]), env["d2"],
+                         env["p0_j"]), 3, True)
+    else:
+        mass, pl = None, None
+        rs = ReduceSpec(
+            lambda env: (jnp.ones_like(env["d2"]), env["d2"]), 2)
     sol, _ = build_and_search_sharded_reduce_jit(
         sharded, None, jnp.float32(0.1), jnp.float32(0.15),
-        fresh_state(), cfg, mesh, knobs, rs)
+        fresh_state(), cfg, mesh, knobs, rs, payload=pl)
     for flag in ("route_overflow", "tile_overflow", "rows_overflow",
                  "dense_overflow"):
         assert int(sol[flag]) == 0, flag
@@ -186,3 +199,6 @@ def test_reduce_sharded_matches_oracle():
         sl = slice(offs[si], offs[si + 1])
         assert np.array_equal(got[0], cnt[sl]), f"set {si} counts"
         assert np.allclose(got[1], sd2[sl], rtol=3e-5, atol=1e-6)
+        if with_payload:
+            sm = np.where(mask, mass[None, :], 0).sum(1, dtype=np.float64)
+            assert np.allclose(got[2], sm[sl], rtol=3e-5, atol=1e-6)

@@ -573,17 +573,13 @@ class TreeNSearch:
                         "run_reduce requires the Pallas fast path "
                         "(<= 8 candidate sets, n > 0)")
                 if self._mesh is not None:
-                    if payload is not None:
-                        raise NotImplementedError(
-                            "sharded run_reduce does not route payloads "
-                            "yet; fold per-set constants into fn via "
-                            "env['set_j']")
                     from .parallel.sharded import (
                         build_and_search_sharded_reduce_jit)
                     sol, state = build_and_search_sharded_reduce_jit(
                         points, radii, jnp.float32(sr), jnp.float32(cell),
                         self._grid_state, cfg, self._mesh, knobs,
-                        reduce_spec, self._mesh_axis, self._route_slack)
+                        reduce_spec, self._mesh_axis, self._route_slack,
+                        payload=payload)
                 else:
                     carry = self._get_carry(cfg, knobs)
                     sol, state, carry = \

@@ -1060,8 +1060,6 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     if reduce_mode:
         assert knobs.lane_batch, "the fused reduce needs lane_batch"
         assert knobs.skip_stage == 0 and knobs.probe_mode == 0
-        assert not (raw and payload is not None), \
-            "sharded reduce does not route payloads yet"
         if reduce_active is None:
             reduce_active = cfg.active_pairs
     caps = cfg.nbr_caps if cfg.nbr_caps is not None \

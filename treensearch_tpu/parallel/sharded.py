@@ -85,7 +85,7 @@ def _bc_i32(x):
 
 
 def _route_and_halo(pts_l, rad_l, orig_l, set_l, st, cfg, axis, n_dev, S,
-                    n: int):
+                    n: int, pl_l=None):
     """Shared routing + halo stage: bucket this device's input rows by
     owner slab, ``all_to_all`` them to the owners, then ``ppermute`` the
     owned buffer to both neighbors.  Returns (local records (3L, 8) i32,
@@ -119,11 +119,15 @@ def _route_and_halo(pts_l, rad_l, orig_l, set_l, st, cfg, axis, n_dev, S,
     # would be flushed as denormals on real TPUs)
     sent_row = jnp.zeros((_NF,), jnp.int32).at[_F_ORIG].set(
         jnp.int32(n)).at[_F_SET].set(jnp.int32(-1))
+    # fields 6,7: user per-point payload (fused reduce) rides the routed
+    # record rows, so halo candidates carry correct p0_j/p1_j for free
+    pl0 = _bc_i32(pl_l[:, 0]) if pl_l is not None \
+        else jnp.zeros((L0,), jnp.int32)
+    pl1 = _bc_i32(pl_l[:, 1]) if pl_l is not None \
+        else jnp.zeros((L0,), jnp.int32)
     rec_l = jnp.stack([_bc_i32(pts_l[:, 0]), _bc_i32(pts_l[:, 1]),
                        _bc_i32(pts_l[:, 2]), _bc_i32(rad_l),
-                       orig_l, set_l,
-                       jnp.zeros((L0,), jnp.int32),
-                       jnp.zeros((L0,), jnp.int32)], axis=1)
+                       orig_l, set_l, pl0, pl1], axis=1)
     slot = jnp.where(valid_l & (pos < S), owner * S + pos, L)
     send = jnp.broadcast_to(sent_row, (L + 1, _NF)).at[slot].set(rec_l)
     recv = jax.lax.all_to_all(send[:L].reshape(n_dev, S, _NF), axis,
@@ -314,6 +318,7 @@ def build_and_search_sharded_fast(points: jnp.ndarray,
                                   axis: str = "d",
                                   route_slack: float = 2.5,
                                   reduce_spec=None,
+                                  payload: Optional[jnp.ndarray] = None,
                                   ) -> tuple[dict, GridState]:
     """Sharded search through the FLAGSHIP dense-table fast engine.
 
@@ -376,11 +381,12 @@ def build_and_search_sharded_fast(points: jnp.ndarray,
                        cfg.set_sizes)
     set_in = jnp.asarray(np.concatenate(
         [set_np, np.full(n_in - n, -1, np.int32)]))
+    pl_in = _pad_rows(payload, n_in - n) if payload is not None else None
 
-    def device_program(pts_l, rad_l, orig_l, set_l, st):
+    def device_program(pts_l, rad_l, orig_l, set_l, st, pl_l=None):
         local, owner, pos, valid_l, route_overflow, x0, slab_w = \
             _route_and_halo(pts_l, rad_l, orig_l, set_l, st, cfg, axis,
-                            n_dev, S, n)
+                            n_dev, S, n, pl_l=pl_l)
         me = jax.lax.axis_index(axis)
         kx = st.n_cells[0]
         ky, kz = st.n_cells[1], st.n_cells[2]
@@ -412,6 +418,7 @@ def build_and_search_sharded_fast(points: jnp.ndarray,
             cand_sets=cand_sets, cand_offsets=cand_offsets,
             multi_set=cfg.n_sets > 1, raw=True,
             reduce_spec=reduce_spec,
+            payload=_bc_f32(local[:, 6:8]) if pl_l is not None else None,
             # the local cfg sees one set; the records carry GLOBAL
             # data-driven set ids, so the kernel's active-matrix mask
             # needs the GLOBAL pairs
@@ -465,6 +472,10 @@ def build_and_search_sharded_fast(points: jnp.ndarray,
         return out
 
     in_specs = (P(axis), P(axis), P(axis), P(axis), P())
+    ops = (pts_in, rad_in, orig_in, set_in, state)
+    if pl_in is not None:
+        in_specs = in_specs + (P(axis),)
+        ops = ops + (pl_in,)
     out_specs = {"route_overflow": P(axis), "flags": P(axis)}
     if reduce_spec is not None:
         out_specs["reduce"] = P(axis)
@@ -475,7 +486,7 @@ def build_and_search_sharded_fast(points: jnp.ndarray,
         device_program, mesh=mesh,
         in_specs=in_specs, out_specs=out_specs,
         check_vma=False,
-    )(pts_in, rad_in, orig_in, set_in, state)
+    )(*ops)
 
     flags = jnp.max(mapped["flags"], axis=0)
     if reduce_spec is not None:
@@ -546,15 +557,18 @@ def build_and_search_sharded_reduce_jit(points, radii, search_radius,
                                         mesh: Mesh, knobs: "fp.FastKnobs",
                                         reduce_spec,
                                         axis: str = "d",
-                                        route_slack: float = 2.5):
+                                        route_slack: float = 2.5,
+                                        payload=None):
     """Sharded fused neighbor-reduce (see fastpath.ReduceSpec): each
     device folds the visitor over its owned queries' exact neighbor
     sets and the per-point accumulators route home with the counts'
-    all_to_all pattern."""
+    all_to_all pattern.  ``payload`` ((n, 2) f32 per-point columns)
+    rides the routed record rows, so halo candidates see it too."""
     return build_and_search_sharded_fast(points, radii, search_radius,
                                          cell_size, state, cfg, mesh, knobs,
                                          axis, route_slack,
-                                         reduce_spec=reduce_spec)
+                                         reduce_spec=reduce_spec,
+                                         payload=payload)
 
 
 def make_sharded_step(cfg: SearchConfig, mesh: Mesh, cell_size: float,
