@@ -141,6 +141,20 @@ def test_trace_fused_reduce():
         pts, carry0, pl)
 
 
+def test_trace_mask_contract():
+    # the tile-layout bitmask contract (run_mask) at the production
+    # knobs, multi-set active matrix
+    cfg = _cfg(n_sets=2)
+    knobs = _knobs(pack=8, lane_batch=True, rec_expand=True)
+    carry0 = fp.make_fast_carry0(cfg, knobs)
+    pts, _ = _shapes(cfg)
+    jax.eval_shape(
+        lambda p, c: fp.build_and_search_fast_carry(
+            p, None, jnp.float32(0.02), jnp.float32(0.022),
+            fresh_state(), c, cfg, knobs, mask_output=True),
+        pts, carry0)
+
+
 def test_trace_sharded_fast():
     # multi-chip production config on an 8-device CPU mesh (trace only)
     from jax.sharding import Mesh
@@ -156,6 +170,25 @@ def test_trace_sharded_fast():
             p, None, jnp.float32(0.02), jnp.float32(0.022),
             fresh_state(), cfg, mesh, knobs),
         pts)
+
+
+def test_trace_sharded_reduce_payload():
+    # sharded fused reduce with payload routing (records fields 6,7)
+    from jax.sharding import Mesh
+    from treensearch_tpu.parallel import sharded as sh
+    devs = np.array(jax.devices("cpu")[:8])
+    mesh = Mesh(devs, ("d",))
+    cfg = _cfg(n_sets=2, n=512)
+    knobs = _knobs(pack=8, lane_batch=True, rec_expand=True,
+                   tiles_cap=64)
+    rs = fp.ReduceSpec(lambda env: env["p0_j"], 1, True)
+    pts, _ = _shapes(cfg)
+    pl = jax.ShapeDtypeStruct((cfg.n_points, 2), jnp.float32)
+    jax.eval_shape(
+        lambda p, q: sh.build_and_search_sharded_fast(
+            p, None, jnp.float32(0.02), jnp.float32(0.022),
+            fresh_state(), cfg, mesh, knobs, reduce_spec=rs, payload=q),
+        pts, pl)
 
 
 def test_run_tiny_interpret_end_to_end():

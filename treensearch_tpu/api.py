@@ -43,6 +43,7 @@ from .neighborlist import NeighborList, NeighborSolution
 from .ops.fastpath import (FastKnobs, ReduceSpec, _pallas_applicable,
                            _pallas_statics, attach_blocks,
                            build_and_search_fast_carry_jit,
+                           build_and_search_fast_carry_mask_jit,
                            build_and_search_fast_carry_reduce_jit,
                            build_and_search_fast_jit, default_tiles_cap,
                            make_fast_carry0)
@@ -456,6 +457,71 @@ class TreeNSearch:
         }
         return out
 
+    def run_mask(self) -> tuple[dict, dict]:
+        """TILE-LAYOUT BITMASK output — the zero-compaction contract.
+
+        Executes the search but returns the pair masks BIT-PACKED in the
+        kernel's native tile layout instead of compacted per-point
+        neighbor lists: the staging networks, MXU prefixes and merge —
+        the dominant kernel terms of ``run()`` (benchmarks/NOTES.md
+        round 5) — never run, and the output cannot truncate (no
+        neighbor caps exist).  For consumers that process neighbors with
+        their own device code (custom Pallas kernels, XLA segment ops),
+        this is the fastest full-information contract; accumulation-style
+        consumers should prefer ``run_reduce`` (no materialization at
+        all).  Complements the reference's CSR output
+        (``TreeNSearch.cpp:2474-2493``) rather than mirroring it.
+
+        Returns ``(mask, meta)``.  ``mask`` holds device arrays:
+
+        - ``bits_tiles`` (tiles, n_win*wcap//pack, 128) i32 and
+          ``bits_fat`` (fat_cap, n_win*fat_wcap//pack, 128) i32: bit f of
+          row ``w*wrows + r``, lane ``l`` says candidate slot
+          ``desc[t, w] + r*pack + f - desc[t, w] % pack`` is a neighbor
+          of the tile's lane-``l`` query (self excluded, active-matrix
+          applied — exactly the pairs ``run()`` emits).  Tiles with
+          ``fat_slot[t] >= 0`` use ``bits_fat[fat_slot[t]]``.
+        - ``counts`` {"s<i>": (n_i,) i32}: exact per-query neighbor
+          totals in original point order; ``counts_flat`` the same in
+          padded-slot order.
+        - ``desc`` (window starts in candidate-slot space + lengths at
+          column 64 + FAT flag), ``fat_slot``, ``fat_ids``, ``qpos``
+          (original point -> padded slot), ``q_orig``/``q_set`` (per
+          padded slot), ``cand_orig`` (candidate slot -> concatenated
+          original index; padding decodes to ``meta['n_total']``).
+
+        ``meta`` holds the static geometry: pack, wcap, fat_wcap, n_win,
+        n_total, set_offsets, set_sizes.  A host-side reference decoder
+        is ``ops.fastpath.decode_mask(mask, meta)``.
+
+        Caps settle/regrow exactly as in ``run()``; results are exact
+        for any cap state.  Single-chip Pallas path only.
+        """
+        self._check()
+        points, radii = self._assemble()
+        cell = self._effective_cell_size()
+        sr = self._search_radius if not self._variable else 0.0
+        w = self._stencil_w(cell)
+        sol = self._execute(points, radii, sr, cell, w, self._chunk,
+                            True, mask_out=True)
+        cfg = self._make_cfg(self._chunk, self._stencil_w(cell))
+        knobs = self._knobs(self._use_pallas)._replace(lane_batch=True)
+        st = _pallas_statics(cfg, knobs)
+        meta = {"pack": st["pack"], "wcap": st["wcap"],
+                "fat_wcap": st["fat_wcap"], "n_win": len(st["offs_2d"]),
+                "n_total": self.get_total_n_points(),
+                "set_offsets": cfg.set_offsets,
+                "set_sizes": cfg.set_sizes}
+        self._last_stats = {
+            "n_cells": int(sol["n_cells"]),
+            "cand_max": int(sol["cand_max"]),
+            "max_count": 0,
+            "cell_size": cell,
+            "stencil_w": w,
+            "path": "mask",
+        }
+        return sol["mask"], meta
+
     def _assemble_payload(self, payload):
         """Per-set payload columns -> one (n_total, 2) f32 device array
         (zero-padded), aligned with ``_assemble``'s concatenation."""
@@ -533,7 +599,7 @@ class TreeNSearch:
                          brick=self._brick)
 
     def _execute(self, points, radii, sr, cell, w, chunk, fast,
-                 reduce_spec=None, payload=None):
+                 reduce_spec=None, payload=None, mask_out=False):
         """Run one search with overflow-regrow; returns the clean solution."""
         use_fast = fast
         use_pallas_now = self._use_pallas
@@ -564,7 +630,20 @@ class TreeNSearch:
             self._tiles_auto = True
         for _ in range(_MAX_GROW_ROUNDS):
             cfg = self._make_cfg(chunk, w)
-            if reduce_spec is not None:
+            if mask_out:
+                knobs = self._knobs(use_pallas_now)._replace(
+                    lane_batch=True)
+                if not use_fast or not _pallas_applicable(cfg, knobs) \
+                        or cfg.n_points == 0 or self._mesh is not None:
+                    raise NotImplementedError(
+                        "run_mask requires the single-chip Pallas fast "
+                        "path (<= 8 candidate sets, n > 0, no mesh)")
+                carry = self._get_carry(cfg, knobs)
+                sol, state, carry = build_and_search_fast_carry_mask_jit(
+                    points, radii, jnp.float32(sr), jnp.float32(cell),
+                    self._grid_state, carry, cfg, knobs)
+                self._fast_carry = carry
+            elif reduce_spec is not None:
                 knobs = self._knobs(use_pallas_now)._replace(
                     lane_batch=True)
                 if not use_fast or not _pallas_applicable(cfg, knobs) \
@@ -735,7 +814,8 @@ class TreeNSearch:
                 else:
                     self._cand_cap = grown
                 grew = True
-            for (si, sj) in (cfg.active_pairs if reduce_spec is None
+            for (si, sj) in (cfg.active_pairs
+                             if reduce_spec is None and not mask_out
                              else ()):
                 mc = int(sol["pairs"][f"{si}-{sj}"]["max_count"])
                 if mc > self._cap_of(sj):
@@ -1170,7 +1250,8 @@ class TreeNSearch:
 
     # ------------------------------------------------------ jit-embedding
     def make_step_fn(self, chunk: Optional[int] = None, fast: bool = True,
-                     reuse: bool = False, reduce=None):
+                     reuse: bool = False, reduce=None,
+                     mask_output: bool = False):
         """Return ``(step, state0)`` for embedding the search in a jitted
         simulation loop (e.g. under ``lax.scan``) with zero host sync:
 
@@ -1207,6 +1288,27 @@ class TreeNSearch:
             self._tiles_cap = default_tiles_cap(
                 max(self.get_total_n_points(), 1))
         knobs = self._knobs(self._use_pallas)
+
+        if mask_output:
+            # tile-layout bitmask contract step (see run_mask): the state
+            # is the temporal-coherence carry pair; the solution carries
+            # sol["mask"] instead of per-pair lists.  Call run_mask()
+            # once first to settle caps.
+            knobs = knobs._replace(lane_batch=True)
+            if not (fast and _pallas_applicable(cfg, knobs)
+                    and cfg.n_points > 0):
+                raise ValueError(
+                    "mask_output steps require the Pallas fast path "
+                    "(use_pallas on, <= 8 candidate sets, n > 0)")
+
+            def step(state, points, radii=None):
+                grid, carry = state
+                sol, grid, carry = build_and_search_fast_carry_mask_jit(
+                    points, radii, jnp.float32(sr), jnp.float32(cell),
+                    grid, carry, cfg, knobs)
+                return sol, (grid, carry)
+
+            return step, (fresh_state(), make_fast_carry0(cfg, knobs))
 
         if reduce is not None:
             # fused neighbor-reduce step (see run_reduce): the state is

@@ -1030,7 +1030,8 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                    raw: bool = False,
                    reduce_spec: Optional[ReduceSpec] = None,
                    payload: Optional[jnp.ndarray] = None,
-                   reduce_active: Optional[tuple] = None) -> dict:
+                   reduce_active: Optional[tuple] = None,
+                   mask_output: bool = False) -> dict:
     """Record build + fused pair kernel + per-pair gathers, all against a
     (possibly reused) ``FastCarry``.
 
@@ -1057,8 +1058,10 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         multi_set = cfg.n_sets > 1
     n_win = len(offs_2d)
     reduce_mode = reduce_spec is not None
-    if reduce_mode:
-        assert knobs.lane_batch, "the fused reduce needs lane_batch"
+    assert not (reduce_mode and mask_output)
+    if reduce_mode or mask_output:
+        assert knobs.lane_batch, \
+            "the fused reduce / mask contract needs lane_batch"
         assert knobs.skip_stage == 0 and knobs.probe_mode == 0
         if reduce_active is None:
             reduce_active = cfg.active_pairs
@@ -1206,18 +1209,28 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         # the pairs kernels consume the sorted rows directly; no padded
         # record array exists in this mode
         rec_pad = recs
+        # mask contract: candidate slot s (= desc + in-window offset) is
+        # the s-th SORTED point; padding decodes to the sentinel
+        cand_orig = jnp.concatenate([
+            os_, jnp.full((n_rows_src * pack - n,),
+                          sentinel_orig if sentinel_orig is not None
+                          else n, jnp.int32)]) if mask_output else None
     else:
         q_t, rec_pad = _build_records(rec8x, carry.opad, lpp,
                                       knobs.rec_wide, cand_map=cand_map)
+        # mask contract: desc indexes the padded layout (brick mode: the
+        # candidate plane) whose slot -> original map is carried
+        cand_orig = (cand_map if st["brick"] else carry.opad) \
+            if mask_output else None
 
     params = jnp.zeros((8, DESC_W), jnp.float32).at[0, 0].set(r2_fixed)
 
     # asymmetric per-window staging: the center windows (the query's own
     # cell rows) hold the most survivors; edges need less
     center_wins = st["center_wins"]
-    if reduce_mode:
-        # no staging exists in reduce mode; minimal widths satisfy the
-        # kernel's shape contract and keep the (unused) scratch tiny
+    if reduce_mode or mask_output:
+        # no staging exists in reduce/mask mode; minimal widths satisfy
+        # the kernel's shape contract and keep the (unused) scratch tiny
         pre_caps = (8,) * n_win
     else:
         pre_c = min(round_up(knobs.pre_cap, 8), max(k8s))
@@ -1231,6 +1244,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
     orig_bits = int(n + 1).bit_length()
     shared = (knobs.shared_compact and knobs.lane_batch and multi_set
               and len(cand_sets) > 1 and not raw and not reduce_mode
+              and not mask_output
               and ((cfg.n_sets - 1) << orig_bits) + n + 1 < 2 ** 31 - 1)
     kargs = dict(variable=cfg.variable, symmetric=cfg.symmetric,
                  cand_sets=cand_sets, cand_offsets=cand_offsets,
@@ -1249,7 +1263,9 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
                  probe_mode=knobs.probe_mode, net_cap=knobs.net_cap,
                  reduce_fn=reduce_spec.fn if reduce_mode else None,
                  reduce_n_out=reduce_spec.n_out if reduce_mode else 0,
-                 reduce_active=reduce_active if reduce_mode else ())
+                 reduce_active=(reduce_active
+                                if (reduce_mode or mask_output) else ()),
+                 mask_mode=mask_output)
     n_blocks_dbg = len(cand_sets)
     if knobs.skip_stage >= 5:
         # DEV: bypass the pallas calls entirely (XLA-side floor); >= 6
@@ -1339,6 +1355,62 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
             "tile_overflow": carry.tile_overflow,
             "rows_overflow": carry.rows_overflow,
             "tiles_used": tiles_used_r,
+            "win_hist": carry.win_hist,
+            "win_max": carry.win_max,
+        }
+
+    if mask_output:
+        # ---- MASK-CONTRACT epilogue (see api.run_mask) ----------------
+        # No compaction/merge ran; the kernel outputs are the per-query
+        # counts and the tile-layout bit-packed pair masks.  Everything a
+        # consumer needs to enumerate pairs rides along: window
+        # descriptors, the candidate slot -> original-id map, the query
+        # tiles' original ids/sets, and the point -> padded-slot map.
+        rows_all = n_win * (wcap // pack)
+        rows_all_f = n_win * (fat_wcap // pack)
+        cnt_n, cnt_f = outs_n[0], outs_f[0]
+        counts_flat = cnt_n[0::8].reshape(-1).at[
+            fat_rows.reshape(-1)].set(cnt_f[0::8].reshape(-1),
+                                      mode="drop")
+        counts_flat = jax.lax.optimization_barrier(counts_flat)
+        gathered = counts_flat[carry.qpos]
+        counts = {}
+        for si in range(cfg.n_sets):
+            counts[f"s{si}"] = jax.lax.dynamic_slice_in_dim(
+                gathered, cfg.set_offsets[si], max(cfg.set_sizes[si], 1)
+            )[:cfg.set_sizes[si]]
+        nq = tiles_cap * PTILE
+        return {
+            "mask": {
+                "bits_tiles": outs_n[1].reshape(tiles_cap, rows_all,
+                                                PTILE),
+                "bits_fat": outs_f[1].reshape(fat_cap, rows_all_f, PTILE),
+                "counts": counts,
+                "counts_flat": counts_flat,
+                "desc": carry.desc,
+                "fat_slot": carry.fat_slot,
+                "fat_ids": carry.fat_ids,
+                "qpos": carry.qpos,
+                # F_ORIG / F_SET record rows of the query tiles
+                "q_orig": jax.lax.slice(q_t, (4, 0), (5, nq))[0],
+                "q_set": jax.lax.slice(q_t, (5, 0), (6, nq))[0],
+                "cand_orig": cand_orig,
+            },
+            "pairs": {},
+            "cand_max": jnp.where(carry.fat_overflow > 0,
+                                  carry.win_max, 0),
+            "n_cells": carry.n_cells_stat,
+            "error": state.error,
+            "dense_overflow": carry.dense_overflow,
+            "straddle": jnp.zeros((), jnp.int32),
+            "pallas_used": jnp.ones((), jnp.int32),
+            # the mask contract cannot truncate -> no pre-cap regrow
+            "pre_surv_max": jnp.zeros((), jnp.int32),
+            "pre_surv_edge_max": jnp.zeros((), jnp.int32),
+            "tile_overflow": carry.tile_overflow,
+            "rows_overflow": carry.rows_overflow,
+            "tiles_used": jnp.sum(
+                (carry.desc[:tiles_cap, _FC2] != 2).astype(jnp.int32)),
             "win_hist": carry.win_hist,
             "win_max": carry.win_max,
         }
@@ -1497,6 +1569,7 @@ def build_and_search_fast_carry(points: jnp.ndarray,
                                 knobs: FastKnobs,
                                 reduce_spec: Optional[ReduceSpec] = None,
                                 payload: Optional[jnp.ndarray] = None,
+                                mask_output: bool = False,
                                 ) -> tuple[dict, GridState, FastCarry]:
     """Temporal-coherence step: reuse the carried cell structure when no
     point changed cells (the reference's core coherence trick,
@@ -1530,7 +1603,7 @@ def build_and_search_fast_carry(points: jnp.ndarray,
                              knobs)._replace(lin_chk=lin))
     sol = _pallas_search(points, radii, search_radius, state, carry,
                          cfg, knobs, reduce_spec=reduce_spec,
-                         payload=payload)
+                         payload=payload, mask_output=mask_output)
     sol["rebuilt"] = jnp.logical_not(same).astype(jnp.int32)
     return sol, state, carry
 
@@ -1554,6 +1627,17 @@ def build_and_search_fast_carry_reduce_jit(points, radii, payload,
                                        cell_size, state, carry, cfg, knobs,
                                        reduce_spec=reduce_spec,
                                        payload=payload)
+
+
+@partial(jax.jit, static_argnames=("cfg", "knobs"))
+def build_and_search_fast_carry_mask_jit(points, radii, search_radius,
+                                         cell_size, state, carry,
+                                         cfg: SearchConfig,
+                                         knobs: FastKnobs):
+    """Tile-layout bitmask contract step (see api.run_mask)."""
+    return build_and_search_fast_carry(points, radii, search_radius,
+                                       cell_size, state, carry, cfg, knobs,
+                                       mask_output=True)
 
 
 def build_and_search_fast(points: jnp.ndarray,
@@ -1759,3 +1843,57 @@ def build_and_search_fast_jit(points, radii, search_radius, cell_size, state,
                               cfg: SearchConfig, knobs: FastKnobs):
     return build_and_search_fast(points, radii, search_radius, cell_size,
                                  state, cfg, knobs)
+
+
+def decode_mask(mask: dict, meta: dict, tiles=None):
+    """Host-side REFERENCE decoder for the ``run_mask`` contract (numpy;
+    O(pairs) python — for validation and as executable documentation of
+    the bit layout, not for production consumption, which should stay on
+    device).
+
+    Returns ``(counts, nbrs)``: ``counts[(si, orig_local_i)]`` is the
+    neighbor total and ``nbrs`` maps each query's CONCATENATED original
+    index to a sorted numpy array of its neighbors' concatenated original
+    indices (union over the query set's active candidate sets — split by
+    ``meta['set_offsets']`` for per-pair views).  ``tiles`` restricts the
+    decode to a subset of tile indices (sampled validation at scale).
+    """
+    from .pallas_pairs import LENS_OFF
+    pack, n_win = meta["pack"], meta["n_win"]
+    n = meta["n_total"]
+    desc = np.asarray(mask["desc"])
+    bits_t = np.asarray(mask["bits_tiles"])
+    bits_f = np.asarray(mask["bits_fat"])
+    fat_slot = np.asarray(mask["fat_slot"])
+    q_orig = np.asarray(mask["q_orig"])
+    cand_orig = np.asarray(mask["cand_orig"])
+    fbits = np.arange(pack, dtype=np.int32)
+    out = {}
+    for t in (range(bits_t.shape[0]) if tiles is None else tiles):
+        fs = int(fat_slot[t]) if t < fat_slot.shape[0] else -1
+        B = bits_f[fs] if fs >= 0 else bits_t[t]
+        rows = B.shape[0] // n_win
+        starts = desc[t, :n_win]
+        ph0 = starts % pack
+        # (n_win*rows,) window id and in-window row of every mask row
+        w_ids = np.repeat(np.arange(n_win), rows)
+        r_mod = np.tile(np.arange(rows), n_win)
+        rr, ll = np.nonzero(B)
+        if rr.size == 0:
+            continue
+        v = B[rr, ll]
+        for k in range(pack):
+            sel = (v >> fbits[k]) & 1 > 0
+            if not sel.any():
+                continue
+            rs, ls = rr[sel], ll[sel]
+            off = r_mod[rs] * pack + (k - ph0[w_ids[rs]])
+            slots = starts[w_ids[rs]] + off
+            qi = q_orig[t * 128 + ls]
+            cj = cand_orig[slots]
+            for a, b in zip(qi.tolist(), cj.tolist()):
+                out.setdefault(a, []).append(b)
+    nbrs = {a: np.sort(np.asarray(v, np.int64)) for a, v in out.items()
+            if a < n}
+    counts = {a: len(v) for a, v in nbrs.items()}
+    return counts, nbrs

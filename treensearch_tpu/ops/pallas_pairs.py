@@ -457,7 +457,8 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     n_sets_total: int = 1,
                     probe_mode: int = 0, net_cap: int = 0,
                     reduce_fn=None, reduce_n_out: int = 0,
-                    reduce_active: tuple = ()):
+                    reduce_active: tuple = (),
+                    mask_mode: bool = False):
     """Build a pallas_call for one tier.
 
     Narrow tier (``fat_tier=False``): grid over all tiles; tiles whose
@@ -494,12 +495,25 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
     neighbor block.
     """
     reduce_mode = reduce_fn is not None
-    if reduce_mode:
-        # FUSED NEIGHBOR-REDUCE (the device-side visitor, see run_reduce):
-        # one f32 output group per tile (reduce_n_out accumulator rows),
-        # no staged CSR blocks.  Requires the lane-batched pipeline.
+    assert not (reduce_mode and mask_mode)
+    if reduce_mode or mask_mode:
+        # Alternative OUTPUT CONTRACTS that skip the staging compaction +
+        # merge (the dominant kernel terms, benchmarks/NOTES.md round 5):
+        #  - FUSED NEIGHBOR-REDUCE (the device visitor, see run_reduce):
+        #    one f32 output group per tile (reduce_n_out accumulator
+        #    rows), no staged CSR blocks.
+        #  - MASK MODE (tile-layout bitmask, see run_mask): the per-pair
+        #    masks are bit-packed over the pack phases into ONE extra
+        #    (n_tiles * n_win*wrows, TILE) i32 output — bit f of row
+        #    (t, w*wrows + r) lane l says candidate slot
+        #    desc[t,w] + r*pack + f - desc[t,w]%pack neighbors query
+        #    lane l of tile t.  Exact per-query counts ride the counts
+        #    group.  No compaction, no merge, and NO output caps: mask
+        #    mode cannot truncate, so the only regrow signals left are
+        #    the prep's (tiles/rows/dense).
+        # Both require the lane-batched pipeline.
         assert lane_batch and not shared_blocks and not probe_mode
-        assert 1 <= reduce_n_out <= 8
+        assert mask_mode or 1 <= reduce_n_out <= 8
         n_blocks = 0
         n_cnt = 1
         nbr_caps = ()
@@ -744,6 +758,88 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                             axis=0, keepdims=True)
                 for k in range(reduce_n_out):
                     out_refs[0][co + k:co + k + 1, :] = accs[k]
+            return
+
+        if mask_mode:
+            # MASK MODE: the same window DMA + mask pipeline as run()
+            # (same crit/bounds/self-exclusion/active-matrix, so the set
+            # bits are bit-identical to the pairs run() emits), but
+            # instead of compacting survivors the per-phase masks are
+            # OR-packed into one i32 plane (bit f = phase f) and stored
+            # in tile layout.  The staging network, MXU prefixes and
+            # merge all disappear; the write is raw VMEM->HBM copy.
+            mo = g_out * (n_win * wrows)
+
+            @pl.when(_run_pred(desc_ref, row))
+            def _():
+                qx = _f32(qt_ref[F_X:F_X + 1, qo:qo + TILE])
+                qy = _f32(qt_ref[F_Y:F_Y + 1, qo:qo + TILE])
+                qz = _f32(qt_ref[F_Z:F_Z + 1, qo:qo + TILE])
+                q_orig = qt_ref[F_ORIG:F_ORIG + 1, qo:qo + TILE]
+                q_set = qt_ref[F_SET:F_SET + 1, qo:qo + TILE]
+                my_r2 = _f32(qt_ref[F_R:F_R + 1, qo:qo + TILE]) ** 2
+                for w in range(n_win):
+                    pltpu.make_async_copy(
+                        rec_ref.at[pl.ds(desc_ref[row, w] // pack, wrows)],
+                        win.at[bank, pl.ds(w * wrows, wrows)],
+                        sems.at[bank, w]).wait()
+                rows_all = n_win * wrows
+                sub_all = jax.lax.broadcasted_iota(
+                    jnp.int32, (rows_all, 1), 0)
+                wid = sub_all // wrows
+                rowmod = sub_all - wid * wrows
+                ln_vec = jnp.zeros((rows_all, 1), jnp.int32)
+                ph_vec = jnp.zeros((rows_all, 1), jnp.int32)
+                for w in range(n_win):
+                    sel = wid == w
+                    ln_vec = jnp.where(sel, desc_ref[row, LENS_OFF + w],
+                                       ln_vec)
+                    ph_vec = jnp.where(sel, desc_ref[row, w] % pack,
+                                       ph_vec)
+                not_center = wid != center_wins[0]
+                for cw in center_wins[1:]:
+                    not_center = not_center & (wid != cw)
+                bits = jnp.zeros((rows_all, TILE), jnp.int32)
+                cnt = jnp.zeros((1, TILE), jnp.int32)
+                for f in range(pack):
+                    o = f * lpp
+                    wx = _f32(win[bank, :, o + F_X:o + F_X + 1])
+                    wy = _f32(win[bank, :, o + F_Y:o + F_Y + 1])
+                    wz = _f32(win[bank, :, o + F_Z:o + F_Z + 1])
+                    wo = win[bank, :, o + F_ORIG:o + F_ORIG + 1]
+                    ddx = wx - qx
+                    ddy = wy - qy
+                    ddz = wz - qz
+                    d2 = (ddx * ddx + ddy * ddy) + ddz * ddz
+                    if variable:
+                        crit = d2 <= my_r2
+                        if symmetric:
+                            wr = _f32(win[bank, :, o + F_R:o + F_R + 1])
+                            crit = crit | (d2 <= wr * wr)
+                    else:
+                        crit = d2 <= r2_fixed
+                    off = rowmod * pack + (f - ph_vec)
+                    pm = crit & ((off >= 0) & (off < ln_vec))
+                    pm = pm & (not_center | (wo != q_orig))
+                    if ns_mask > 1:
+                        ws = win[bank, :, o + F_SET:o + F_SET + 1]
+                        am = None
+                        for si in range(ns_mask):
+                            allowed = tuple(sj for (i, sj) in reduce_active
+                                            if i == si)
+                            if not allowed:
+                                continue
+                            rm = ws == allowed[0]
+                            for sj in allowed[1:]:
+                                rm = rm | (ws == sj)
+                            t = (q_set == si) & rm
+                            am = t if am is None else (am | t)
+                        pm = pm & am
+                    pmi = pm.astype(jnp.int32)
+                    bits = bits | (pmi << f)
+                    cnt = cnt + jnp.sum(pmi, axis=0, keepdims=True)
+                out_refs[0][co:co + 1, :] = cnt
+                out_refs[1][mo:mo + rows_all, :] = bits
             return
 
         if lane_batch:
@@ -1224,6 +1320,11 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
             return
         for c in range(n_cnt):
             out_refs[c][:, :] = jnp.zeros((8 * G, TILE), out_dt)
+        if mask_mode:
+            # skipped (fat-routed) tiles decode as empty; the fat tier's
+            # own mask block supplies their bits (tier select at decode)
+            out_refs[1][:, :] = jnp.zeros((n_win * wrows * G, TILE),
+                                          jnp.int32)
         for b in range(n_blocks):
             # the nbr block needs no -1 fill on the fast path: the merge
             # writes rows [0, min(cap, m2)) for every processed tile
@@ -1235,11 +1336,13 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                 out_refs[n_cnt + b][:, :] = jnp.full(
                     (nbr_caps[b] * G, TILE), -1, jnp.int32)
 
+    n_out_arrays = n_cnt + n_blocks + (1 if mask_mode else 0)
+
     if fat_tier:
         def kernel(ids_ref, desc_ref, params_ref, qt_ref, rec_ref,
                    *rest):
-            out_refs = rest[:n_cnt + n_blocks]
-            win, outc, wsc, sems = rest[n_cnt + n_blocks:]
+            out_refs = rest[:n_out_arrays]
+            win, outc, wsc, sems = rest[n_out_arrays:]
             row = ids_ref[pl.program_id(0)] % 8
             issue(desc_ref, row, rec_ref, win, sems, 0)
             _init_outs(out_refs)
@@ -1250,8 +1353,8 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
         spb = 8 // G  # grid steps sharing one 8-row descriptor block
 
         def kernel(desc_ref, params_ref, qt_ref, rec_ref, *rest):
-            out_refs = rest[:n_cnt + n_blocks]
-            win, outc, wsc, sems = rest[n_cnt + n_blocks:]
+            out_refs = rest[:n_out_arrays]
+            win, outc, wsc, sems = rest[n_out_arrays:]
             if G == 8:
                 rows = list(range(8))
                 issue(desc_ref, rows[0], rec_ref, win, sems, 0)
@@ -1308,6 +1411,9 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
         for b in range(n_blocks):
             out_shape.append(jax.ShapeDtypeStruct(
                 (n_tiles * nbr_caps[b], TILE), jnp.int32))
+        if mask_mode:
+            out_shape.append(jax.ShapeDtypeStruct(
+                (n_tiles * n_win * wrows, TILE), jnp.int32))
         if fat_tier:
             grid_spec = pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -1330,7 +1436,11 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     pl.BlockSpec((nbr_caps[b], TILE),
                                  lambda t, ids: (t, 0),
                                  memory_space=pltpu.VMEM)
-                    for b in range(n_blocks)],
+                    for b in range(n_blocks)] + ([
+                    pl.BlockSpec((n_win * wrows, TILE),
+                                 lambda t, ids: (t, 0),
+                                 memory_space=pltpu.VMEM)]
+                    if mask_mode else []),
                 scratch_shapes=scratch,
             )
             return pl.pallas_call(
@@ -1356,7 +1466,10 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                        for _ in range(n_cnt)] + [
                 pl.BlockSpec((nbr_caps[b] * G, TILE), lambda t: (t, 0),
                              memory_space=pltpu.VMEM)
-                for b in range(n_blocks)],
+                for b in range(n_blocks)] + ([
+                pl.BlockSpec((n_win * wrows * G, TILE), lambda t: (t, 0),
+                             memory_space=pltpu.VMEM)]
+                if mask_mode else []),
             scratch_shapes=scratch,
         )
         return pl.pallas_call(
