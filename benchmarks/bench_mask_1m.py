@@ -91,44 +91,30 @@ def main():
     points_dev = jnp.asarray(pts)
 
     def time_leg(reuse: bool, tag: str):
-        step, st = eng.make_step_fn(mask_output=True)
-        if not reuse:
-            # discard the carry each step: forces the full rebuild
-            st0 = st
+        # reuse=False: the step fn rebuilds the cell structure every step;
+        # reuse=True: temporal-coherence carry.  Both legs THREAD the
+        # state through the loop so no iteration is loop-invariant (an
+        # earlier version closed over a constant state in the rebuild
+        # leg, which XLA could hoist).
+        step, st = eng.make_step_fn(mask_output=True, reuse=reuse)
 
-            @jax.jit
-            def loop(points, state):
-                def body(_, acc):
-                    sol, _ = step(st0, points)
-                    return acc + sol["mask"]["counts_flat"][::4097].sum() \
-                        + sol["mask"]["bits_tiles"][0, 0, 0]
-                return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
+        @jax.jit
+        def loop(points, state):
+            def body(_, carry):
+                state, acc = carry
+                sol, state = step(state, points)
+                acc = acc + sol["mask"]["counts_flat"][::4097].sum() \
+                    + sol["mask"]["bits_tiles"][0, 0, 0]
+                return state, acc
+            return jax.lax.fori_loop(0, ITERS, body,
+                                     (state, jnp.int32(0)))
 
-            acc = loop(points_dev, st)
-            jax.block_until_ready(acc)
-            t0 = time.perf_counter()
-            acc = loop(points_dev, st)
-            int(acc)
-            return (time.perf_counter() - t0) / ITERS
-        else:
-
-            @jax.jit
-            def loop(points, state):
-                def body(_, carry):
-                    state, acc = carry
-                    sol, state = step(state, points)
-                    acc = acc + sol["mask"]["counts_flat"][::4097].sum() \
-                        + sol["mask"]["bits_tiles"][0, 0, 0]
-                    return state, acc
-                return jax.lax.fori_loop(0, ITERS, body,
-                                         (state, jnp.int32(0)))
-
-            st2, acc = loop(points_dev, st)
-            jax.block_until_ready(acc)
-            t0 = time.perf_counter()
-            st2, acc = loop(points_dev, st)
-            int(acc)
-            return (time.perf_counter() - t0) / ITERS
+        st2, acc = loop(points_dev, st)
+        jax.block_until_ready(acc)
+        t0 = time.perf_counter()
+        st2, acc = loop(points_dev, st)
+        int(acc)
+        return (time.perf_counter() - t0) / ITERS
 
     dt_carry = time_leg(True, "carry")
     print(f"[mask carry-reuse] {dt_carry * 1e3:.2f} ms/step",

@@ -152,6 +152,7 @@ class TreeNSearch:
         #                            slack rides every per-slot gather)
         self._tiles_auto = False   # tiles_cap was auto-sized (snug ok)
         self._shared_compact = _kd["shared_compact"]
+        self._split_stage = _kd["split_stage"]
         self._rec_expand = _kd["rec_expand"]
         self._rec_expand_user = False  # explicit override disables auto
         self._pack_user = False    # set_record_pack disables the heuristic
@@ -388,6 +389,15 @@ class TreeNSearch:
         self._lane_batch = bool(enabled)
         self._lane_batch_user = True
 
+    def set_split_stage(self, enabled: bool) -> None:
+        """Toggle the two-pass kernel: a mask-mode pass 1 bit-packs the
+        pair masks in tile layout; a pass-2 kernel unpacks them and runs
+        the staging compaction + merge (see FastKnobs.split_stage).
+        Results are bit-identical to the fused kernel; applies to
+        lane-batched single-chip configs outside the shared-compaction /
+        reduce / mask contracts."""
+        self._split_stage = bool(enabled)
+
     # ---------------------------------------------------------------- run
     def run(self) -> None:
         """Execute the search and build all active neighbor lists
@@ -595,6 +605,7 @@ class TreeNSearch:
                          rec_wide=self._rec_wide,
                          lane_batch=self._lane_batch,
                          shared_compact=self._shared_compact,
+                         split_stage=self._split_stage,
                          rec_expand=self._rec_expand,
                          brick=self._brick)
 

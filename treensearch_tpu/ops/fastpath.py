@@ -129,6 +129,17 @@ class FastKnobs(NamedTuple):
     #                            sorted order (windows are exact k-runs,
     #                            no row padding) while queries get their
     #                            own brick-padded layout.
+    split_stage: bool = False  # two-PASS kernel: a mask-mode pass 1
+    #                            computes the pair masks and stores them
+    #                            bit-packed in tile layout; a pass-2
+    #                            kernel (stage_from_bits) unpacks them
+    #                            and runs the staging compaction + merge.
+    #                            Trades one bits store+load for the
+    #                            ~25 ms/step Mosaic scheduling
+    #                            interaction between the mask pipeline
+    #                            and the staging network (NOTES.md r5).
+    #                            Requires lane_batch; auto-skipped in
+    #                            raw/shared-compaction/reduce/mask modes.
     skip_stage: int = 0        # DEV ONLY: 1 = no per-window compaction,
     #                            2 = no merge either, 3 = kernel body off,
     #                            4 = + no output init (stage attribution)
@@ -1285,6 +1296,37 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
             q_t_b, rec_b = jax.lax.optimization_barrier((q_t, rec_pad))
             outs_n = list(outs_n)
             outs_n[0] = outs_n[0] + (q_t_b[0, 0] + rec_b[0, 0])
+    elif (knobs.split_stage and knobs.lane_batch and not shared
+          and not raw and not reduce_mode and not mask_output
+          and knobs.skip_stage == 0 and knobs.probe_mode == 0):
+        # TWO-PASS kernel (see FastKnobs.split_stage): pass 1 is the
+        # mask-mode kernel (geometry masks bit-packed in tile layout),
+        # pass 2 unpacks the bits and runs staging + merge with the
+        # identical output contract as the fused call — the epilogue
+        # below is unchanged and the results are bit-identical
+        # (tests/test_split_stage.py).
+        mk = dict(kargs)
+        mk.update(mask_mode=True, shared_blocks=False,
+                  reduce_active=tuple(cfg.active_pairs))
+        mask_n = make_pairs_call(wcap, (8,) * n_win, (), n_win,
+                                 fat_tier=False, tiles_per_step=knobs.tps,
+                                 **mk)
+        bits_n = mask_n(tiles_cap, carry.desc, params, q_t, rec_pad)[1]
+        mask_f = make_pairs_call(fat_wcap, (8,) * n_win, (), n_win,
+                                 fat_tier=True, **mk)
+        bits_f = mask_f(fat_cap, carry.desc, params, q_t, rec_pad,
+                        ids=carry.fat_ids)[1]
+        sk = dict(kargs)
+        sk.update(stage_from_bits=True, shared_blocks=False)
+        narrow = make_pairs_call(wcap, pre_caps, k8s, n_win,
+                                 fat_tier=False, tiles_per_step=knobs.tps,
+                                 **sk)
+        outs_n = narrow(tiles_cap, carry.desc, params, q_t, rec_pad,
+                        bits=bits_n)
+        fat = make_pairs_call(fat_wcap, pre_caps, k8s, n_win,
+                              fat_tier=True, **sk)
+        outs_f = fat(fat_cap, carry.desc, params, q_t, rec_pad,
+                     ids=carry.fat_ids, bits=bits_f)
     else:
         narrow = make_pairs_call(wcap, pre_caps, k8s, n_win,
                                  fat_tier=False, tiles_per_step=knobs.tps,

@@ -458,7 +458,8 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     probe_mode: int = 0, net_cap: int = 0,
                     reduce_fn=None, reduce_n_out: int = 0,
                     reduce_active: tuple = (),
-                    mask_mode: bool = False):
+                    mask_mode: bool = False,
+                    stage_from_bits: bool = False):
     """Build a pallas_call for one tier.
 
     Narrow tier (``fat_tier=False``): grid over all tiles; tiles whose
@@ -496,6 +497,19 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
     """
     reduce_mode = reduce_fn is not None
     assert not (reduce_mode and mask_mode)
+    if stage_from_bits:
+        # SPLIT-STAGING pass 2 (see fastpath split_stage): the geometry
+        # masks were computed by a mask-mode pass-1 kernel and arrive as
+        # the tile-layout bit-packed ``bits`` input; this kernel only
+        # unpacks them, re-DMAs the candidate windows for the orig/set
+        # lanes, and runs the staging compaction + merge.  Motivation
+        # (benchmarks/NOTES.md round 5): in the fused kernel the staging
+        # network costs ~25 ms/step at 1M from a Mosaic scheduling
+        # interaction with the surrounding mask pipeline, while the same
+        # network standalone costs ~2.9 ms — splitting the passes trades
+        # one bits store+load (~2.3 ms at HBM bw) for that interaction.
+        assert lane_batch and not shared_blocks and not probe_mode
+        assert not (reduce_mode or mask_mode) and skip_stage == 0
     if reduce_mode or mask_mode:
         # Alternative OUTPUT CONTRACTS that skip the staging compaction +
         # merge (the dominant kernel terms, benchmarks/NOTES.md round 5):
@@ -573,7 +587,7 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
     nw8 = -(-n_win // 8) * 8
 
     def body(desc_ref, row, params_ref, qt_ref, qo, rec_ref, out_refs,
-             co, g_out, win, outc, wsc, sems, bank):
+             co, g_out, win, outc, wsc, sems, bank, bits_ref=None):
         # qo/co/no: lane offset into the query block and row offsets into
         # the counts/nbrs output blocks for this tile (several tiles are
         # processed per grid step to amortize the per-step pipeline
@@ -868,69 +882,93 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
             @pl.when(_run_pred(desc_ref, row))
             def _():
                 wsc[:, :] = jnp.zeros((n_blocks * nw8, TILE), jnp.int32)
-                qx = _f32(qt_ref[F_X:F_X + 1, qo:qo + TILE])
-                qy = _f32(qt_ref[F_Y:F_Y + 1, qo:qo + TILE])
-                qz = _f32(qt_ref[F_Z:F_Z + 1, qo:qo + TILE])
-                q_orig = qt_ref[F_ORIG:F_ORIG + 1, qo:qo + TILE]
-                my_r2 = _f32(qt_ref[F_R:F_R + 1, qo:qo + TILE]) ** 2
-                for w in range(n_win):
-                    pltpu.make_async_copy(
-                        rec_ref.at[pl.ds(desc_ref[row, w] // pack, wrows)],
-                        win.at[bank, pl.ds(w * wrows, wrows)],
-                        sems.at[bank, w]).wait()
                 rows_all = n_win * wrows
-                sub_all = jax.lax.broadcasted_iota(
-                    jnp.int32, (rows_all, 1), 0)
-                wid = sub_all // wrows
-                rowmod = sub_all - wid * wrows
-                # per-window scalars spread to lane-invariant row vectors
-                ln_vec = jnp.zeros((rows_all, 1), jnp.int32)
-                ph_vec = jnp.zeros((rows_all, 1), jnp.int32)
-                for w in range(n_win):
-                    sel = wid == w
-                    ln_vec = jnp.where(sel, desc_ref[row, LENS_OFF + w],
-                                       ln_vec)
-                    ph_vec = jnp.where(sel, desc_ref[row, w] % pack,
-                                       ph_vec)
-                not_center = wid != center_wins[0]
-                for cw in center_wins[1:]:
-                    not_center = not_center & (wid != cw)
-                ones_t = jnp.ones((1, TILE), jnp.int32)
 
-                pm_ph, vo_ph, ws_ph = [], [], []
-                for f in range(pack):
-                    o = f * lpp
-                    wx = _f32(win[bank, :, o + F_X:o + F_X + 1])
-                    wy = _f32(win[bank, :, o + F_Y:o + F_Y + 1])
-                    wz = _f32(win[bank, :, o + F_Z:o + F_Z + 1])
-                    wo = win[bank, :, o + F_ORIG:o + F_ORIG + 1]
-                    ddx = wx - qx
-                    ddy = wy - qy
-                    ddz = wz - qz
-                    d2 = (ddx * ddx + ddy * ddy) + ddz * ddz
-                    if variable:
-                        crit = d2 <= my_r2
-                        if symmetric:
-                            wr = _f32(win[bank, :, o + F_R:o + F_R + 1])
-                            crit = crit | (d2 <= wr * wr)
-                    else:
-                        crit = d2 <= r2_fixed
-                    # NOTE (r4 measured): moving the validity into
-                    # NaN-poisoned coords and the center self-exclusion
-                    # into a sentinel orig SAVES VPU ops on paper but
-                    # cost +11 ms/step at 1M on v5e (bench_r7e_v2off vs
-                    # bench_r7_row_base) — the poison chain serializes
-                    # against the distance pipeline.  Keep the
-                    # full-width AND/OR form.
-                    off = rowmod * pack + (f - ph_vec)
-                    pm = crit & ((off >= 0) & (off < ln_vec))
-                    pm = pm & (not_center | (wo != q_orig))
-                    pm_ph.append(pm)
-                    if skip_stage < 1:
+                def _wait_windows():
+                    for w in range(n_win):
+                        pltpu.make_async_copy(
+                            rec_ref.at[pl.ds(desc_ref[row, w] // pack,
+                                             wrows)],
+                            win.at[bank, pl.ds(w * wrows, wrows)],
+                            sems.at[bank, w]).wait()
+                ones_t = jnp.ones((1, TILE), jnp.int32)
+                if stage_from_bits:
+                    _wait_windows()
+                    # pass 2: the geometry/bounds/self-exclusion masks are
+                    # already bit-packed in the bits input (bit f = pack
+                    # phase f, written by the mask-mode pass 1); only the
+                    # orig/set lanes are read from the re-DMA'd windows
+                    bits = bits_ref[g_out * rows_all:
+                                    (g_out + 1) * rows_all, :]
+                    pm_ph, vo_ph, ws_ph = [], [], []
+                    for f in range(pack):
+                        o = f * lpp
+                        wo = win[bank, :, o + F_ORIG:o + F_ORIG + 1]
+                        pm_ph.append((bits & (1 << f)) != 0)
                         vo_ph.append(wo * ones_t)
-                    if multi_set:
-                        ws_ph.append(win[bank, :,
-                                         o + F_SET:o + F_SET + 1])
+                        if multi_set:
+                            ws_ph.append(win[bank, :,
+                                             o + F_SET:o + F_SET + 1])
+                else:
+                    qx = _f32(qt_ref[F_X:F_X + 1, qo:qo + TILE])
+                    qy = _f32(qt_ref[F_Y:F_Y + 1, qo:qo + TILE])
+                    qz = _f32(qt_ref[F_Z:F_Z + 1, qo:qo + TILE])
+                    q_orig = qt_ref[F_ORIG:F_ORIG + 1, qo:qo + TILE]
+                    my_r2 = _f32(qt_ref[F_R:F_R + 1, qo:qo + TILE]) ** 2
+                    _wait_windows()
+                    sub_all = jax.lax.broadcasted_iota(
+                        jnp.int32, (rows_all, 1), 0)
+                    wid = sub_all // wrows
+                    rowmod = sub_all - wid * wrows
+                    # per-window scalars spread to lane-invariant rows
+                    ln_vec = jnp.zeros((rows_all, 1), jnp.int32)
+                    ph_vec = jnp.zeros((rows_all, 1), jnp.int32)
+                    for w in range(n_win):
+                        sel = wid == w
+                        ln_vec = jnp.where(sel,
+                                           desc_ref[row, LENS_OFF + w],
+                                           ln_vec)
+                        ph_vec = jnp.where(sel, desc_ref[row, w] % pack,
+                                           ph_vec)
+                    not_center = wid != center_wins[0]
+                    for cw in center_wins[1:]:
+                        not_center = not_center & (wid != cw)
+
+                    pm_ph, vo_ph, ws_ph = [], [], []
+                    for f in range(pack):
+                        o = f * lpp
+                        wx = _f32(win[bank, :, o + F_X:o + F_X + 1])
+                        wy = _f32(win[bank, :, o + F_Y:o + F_Y + 1])
+                        wz = _f32(win[bank, :, o + F_Z:o + F_Z + 1])
+                        wo = win[bank, :, o + F_ORIG:o + F_ORIG + 1]
+                        ddx = wx - qx
+                        ddy = wy - qy
+                        ddz = wz - qz
+                        d2 = (ddx * ddx + ddy * ddy) + ddz * ddz
+                        if variable:
+                            crit = d2 <= my_r2
+                            if symmetric:
+                                wr = _f32(
+                                    win[bank, :, o + F_R:o + F_R + 1])
+                                crit = crit | (d2 <= wr * wr)
+                        else:
+                            crit = d2 <= r2_fixed
+                        # NOTE (r4 measured): moving the validity into
+                        # NaN-poisoned coords and the center
+                        # self-exclusion into a sentinel orig SAVES VPU
+                        # ops on paper but cost +11 ms/step at 1M on v5e
+                        # (bench_r7e_v2off vs bench_r7_row_base) — the
+                        # poison chain serializes against the distance
+                        # pipeline.  Keep the full-width AND/OR form.
+                        off = rowmod * pack + (f - ph_vec)
+                        pm = crit & ((off >= 0) & (off < ln_vec))
+                        pm = pm & (not_center | (wo != q_orig))
+                        pm_ph.append(pm)
+                        if skip_stage < 1:
+                            vo_ph.append(wo * ones_t)
+                        if multi_set:
+                            ws_ph.append(win[bank, :,
+                                             o + F_SET:o + F_SET + 1])
 
                 def _reblock(x):
                     # (n_win*wrows, TILE) windows-on-sublanes ->
@@ -1341,18 +1379,26 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
     if fat_tier:
         def kernel(ids_ref, desc_ref, params_ref, qt_ref, rec_ref,
                    *rest):
+            if stage_from_bits:
+                bits_ref, rest = rest[0], rest[1:]
+            else:
+                bits_ref = None
             out_refs = rest[:n_out_arrays]
             win, outc, wsc, sems = rest[n_out_arrays:]
             row = ids_ref[pl.program_id(0)] % 8
             issue(desc_ref, row, rec_ref, win, sems, 0)
             _init_outs(out_refs)
             body(desc_ref, row, params_ref, qt_ref, 0, rec_ref, out_refs,
-                 0, 0, win, outc, wsc, sems, 0)
+                 0, 0, win, outc, wsc, sems, 0, bits_ref=bits_ref)
     else:
         assert G in (1, 2, 4, 8)
         spb = 8 // G  # grid steps sharing one 8-row descriptor block
 
         def kernel(desc_ref, params_ref, qt_ref, rec_ref, *rest):
+            if stage_from_bits:
+                bits_ref, rest = rest[0], rest[1:]
+            else:
+                bits_ref = None
             out_refs = rest[:n_out_arrays]
             win, outc, wsc, sems = rest[n_out_arrays:]
             if G == 8:
@@ -1391,7 +1437,8 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                         issue(desc_ref, nxt, rec_ref, win, sems, 0)
                 body(desc_ref, rows[g], params_ref, qt_ref, g * TILE,
                      rec_ref, out_refs, g * 8, g,
-                     win, outc, wsc, sems, g % n_banks)
+                     win, outc, wsc, sems, g % n_banks,
+                     bits_ref=bits_ref)
 
     scratch = [
         # lane_batch stages all windows contiguously (one buffer per bank)
@@ -1402,9 +1449,10 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
         pltpu.SemaphoreType.DMA((n_banks, n_win)),
     ]
 
-    def call(n_tiles, desc, params, q_t, rec, ids=None):
+    def call(n_tiles, desc, params, q_t, rec, ids=None, bits=None):
         # n_tiles tiles total; the narrow tier runs G of them per grid step
         assert fat_tier or n_tiles % G == 0
+        assert (bits is not None) == stage_from_bits
         n_grid = n_tiles if fat_tier else n_tiles // G
         out_shape = [jax.ShapeDtypeStruct((n_tiles * 8, TILE), out_dt)
                      for _ in range(n_cnt)]
@@ -1428,7 +1476,10 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                                  lambda t, ids: (0, ids[t]),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pl.ANY),
-                ],
+                ] + ([pl.BlockSpec((n_win * wrows, TILE),
+                                   lambda t, ids: (t, 0),
+                                   memory_space=pltpu.VMEM)]
+                     if stage_from_bits else []),
                 out_specs=[pl.BlockSpec((8, TILE),
                                         lambda t, ids: (t, 0),
                                         memory_space=pltpu.VMEM)
@@ -1443,11 +1494,13 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                     if mask_mode else []),
                 scratch_shapes=scratch,
             )
+            args = (ids, desc, params, q_t, rec) + \
+                ((bits,) if stage_from_bits else ())
             return pl.pallas_call(
                 kernel, grid_spec=grid_spec, out_shape=out_shape,
                 compiler_params=pltpu.CompilerParams(
                     vmem_limit_bytes=100 * 1024 * 1024),
-                interpret=interpret)(ids, desc, params, q_t, rec)
+                interpret=interpret)(*args)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=(n_grid,),
@@ -1460,7 +1513,10 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                 pl.BlockSpec((N_FIELDS, G * TILE), lambda t: (0, t),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            ] + ([pl.BlockSpec((n_win * wrows * G, TILE),
+                               lambda t: (t, 0),
+                               memory_space=pltpu.VMEM)]
+                 if stage_from_bits else []),
             out_specs=[pl.BlockSpec((8 * G, TILE), lambda t: (t, 0),
                                     memory_space=pltpu.VMEM)
                        for _ in range(n_cnt)] + [
@@ -1472,10 +1528,12 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
                 if mask_mode else []),
             scratch_shapes=scratch,
         )
+        args = (desc, params, q_t, rec) + \
+            ((bits,) if stage_from_bits else ())
         return pl.pallas_call(
             kernel, grid_spec=grid_spec, out_shape=out_shape,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
-            interpret=interpret)(desc, params, q_t, rec)
+            interpret=interpret)(*args)
 
     return call
