@@ -76,6 +76,8 @@ def main():
     if "BENCH_REXP" in os.environ:    # expand-kernel record build
         eng._rec_expand = bool(int(os.environ["BENCH_REXP"]))
         eng._rec_expand_user = True
+    if "BENCH_SPLIT" in os.environ:   # two-pass split-staging kernel
+        eng.set_split_stage(bool(int(os.environ["BENCH_SPLIT"])))
 
     # z-order once (SPH practice), settle the padding caps, warm the cache
     eng.prepare_zsort()

@@ -143,6 +143,7 @@ class TreeNSearch:
         self._brick = tuple(_kd["brick"])
         self._brick_user = False   # set_brick disables the auto-select
         self._use_carry = True     # temporal-coherence carry in run()
+        self._scalar_f64 = False   # run_scalar d^2 accumulation in f64
         self._wcap_user = False    # set_window_cap disables the auto-tune
         self._wcap_tuned = False   # one-shot wcap auto-tune from win_hist
         self._dense_snug = False   # one-shot dense-table shrink to domain
@@ -412,6 +413,22 @@ class TreeNSearch:
         (role of the reference's scalar implementations,
         ``TreeNSearch.cpp:150-160``)."""
         self._run(self._chunk_scalar, fast=False)
+
+    def set_scalar_double_accum(self, enabled: bool) -> None:
+        """``run_scalar`` distance test with the reference SCALAR path's
+        float64 d^2 accumulation (``TreeNSearch.cpp:2080-2086``: the
+        non-SIMD loop sums ``double squared_distance``; r^2 stays the
+        f32 square, promoted — matching C++'s implicit conversion).
+        The SIMD/Pallas engines keep f32 semantics by design (SURVEY.md
+        §7 targets the reference's SIMD float comparisons).  Requires
+        x64 enabled in JAX (``jax.config.update("jax_enable_x64",
+        True)``) — without it the cast is a silent no-op, so this
+        setter raises."""
+        if enabled and not jax.config.jax_enable_x64:
+            raise RuntimeError(
+                "set_scalar_double_accum(True) needs jax_enable_x64; "
+                'call jax.config.update("jax_enable_x64", True) first')
+        self._scalar_f64 = bool(enabled)
 
     def run_reduce(self, fn: Callable, n_out: int = 1,
                    payload=None) -> dict:
@@ -1387,6 +1404,7 @@ class TreeNSearch:
             cand_cap=self._cand_cap,
             nbr_cap=max(caps) if caps else self._nbr_cap,
             nbr_caps=caps if self._nbr_caps else None,
+            scalar_f64=self._scalar_f64,
         )
 
     def _assemble(self):

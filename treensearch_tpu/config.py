@@ -34,6 +34,11 @@ class SearchConfig(NamedTuple):
     # None = nbr_cap for every set.  nbr_cap stays the global ceiling used
     # by the fallback paths.
     nbr_caps: object = None
+    # scalar-path d^2 accumulation in float64 (reference scalar parity,
+    # TreeNSearch.cpp:2080-2086: ``double squared_distance``); only the
+    # search-based pipeline (run_scalar) reads it — the SIMD/Pallas paths
+    # match the reference's SIMD float semantics by design (SURVEY.md §7).
+    scalar_f64: bool = False
 
     @property
     def n_sets(self) -> int:

@@ -200,18 +200,31 @@ def make_chunk_body(s: SortedStructure, cfg: SearchConfig,
         c_orig = s.idx_s[cand_pos]
         c_set = s.set_id_s[cand_pos]
 
-        dx = c_pos[..., 0] - my_pos[:, None, 0]
-        dy = c_pos[..., 1] - my_pos[:, None, 1]
-        dz = c_pos[..., 2] - my_pos[:, None, 2]
-        d2 = (dx * dx + dy * dy) + dz * dz                  # f32, fixed order
+        if cfg.scalar_f64:
+            # reference SCALAR parity: the non-SIMD reference loop
+            # accumulates d^2 in double (TreeNSearch.cpp:2080-2086);
+            # f32 inputs promote exactly, so only the products/sum round
+            # (once each, in f64).  Requires jax_enable_x64 upstream
+            # (api.set_scalar_double_accum documents the gate).
+            cp = c_pos.astype(jnp.float64)
+            mp = my_pos.astype(jnp.float64)
+            dx = cp[..., 0] - mp[:, None, 0]
+            dy = cp[..., 1] - mp[:, None, 1]
+            dz = cp[..., 2] - mp[:, None, 2]
+        else:
+            dx = c_pos[..., 0] - my_pos[:, None, 0]
+            dy = c_pos[..., 1] - my_pos[:, None, 1]
+            dz = c_pos[..., 2] - my_pos[:, None, 2]
+        d2 = (dx * dx + dy * dy) + dz * dz          # fixed add order
 
         if cfg.variable:
-            crit = d2 <= my_r2[:, None]
+            my_r2c = my_r2.astype(d2.dtype)
+            crit = d2 <= my_r2c[:, None]
             if cfg.symmetric:
-                c_r = s.r_s[cand_pos]
+                c_r = s.r_s[cand_pos].astype(d2.dtype)
                 crit = crit | (d2 <= c_r * c_r)
         else:
-            crit = d2 <= s.r2_fixed
+            crit = d2 <= s.r2_fixed.astype(d2.dtype)
         base_mask = (slot_valid & crit & row_valid[:, None]
                      & (c_orig != my_orig[:, None]) & (c_orig < n_real))
 
