@@ -34,16 +34,19 @@ def _run(pts_np, rad_np, r, cell, cfg, knobs):
     return fp.attach_blocks(sol)
 
 
-@pytest.mark.parametrize("variable,pack,rec_expand,nsets", [
+@pytest.mark.parametrize("variable,pack,rec_expand,nsets,shared", [
     # the 1M production configuration (pack 8, lane_batch, sorted-window
     # DMA records) through the two-pass kernel
-    (False, 8, True, 1),
-    # multi-set asymmetric matrix + variable symmetric radii (per-block
-    # staging; shared compaction is auto-bypassed by the split gate)
-    (True, 4, False, 2),
+    (False, 8, True, 1, False),
+    # multi-set asymmetric matrix + variable symmetric radii, per-block
+    # staging
+    (True, 4, False, 2, False),
+    # multi-set through the SHARED combined staging (the 10M x 3-set
+    # production path): pass 2 keeps the packed set|orig compaction
+    (False, 8, True, 2, True),
 ])
 def test_split_stage_bit_identical_to_fused(variable, pack, rec_expand,
-                                            nsets):
+                                            nsets, shared):
     rng = np.random.default_rng(17)
     n, r = 900, 0.09
     pts = rng.uniform(0, 1, (n, 3)).astype(np.float32)
@@ -63,7 +66,7 @@ def test_split_stage_bit_identical_to_fused(variable, pack, rec_expand,
                 use_pallas=True, pre_cap=96, pre_edge=96, interpret=True,
                 fat_cap=8, fat_wcap=512, tiles_cap=48, pack=pack,
                 lane_batch=True, rec_expand=rec_expand,
-                shared_compact=False)
+                shared_compact=shared)
     sol_f = _run(pts, rad, r, cell, cfg, fp.FastKnobs(**base))
     sol_s = _run(pts, rad, r, cell, cfg,
                  fp.FastKnobs(split_stage=True, **base))
@@ -107,11 +110,17 @@ def test_split_stage_bit_identical_to_fused(variable, pack, rec_expand,
 def test_trace_split_stage():
     """eval_shape guard over the split-stage production rows (see
     tests/test_smoke.py for the tier's rationale)."""
-    for kw in (dict(pack=8, lane_batch=True, rec_expand=True),
-               dict(pack=16, lane_batch=True, rec_expand=True, tps=1),
-               dict(pack=8, lane_batch=True, brick=(2, 2, 3))):
-        cfg = SearchConfig((208,), ((0, 0),), False, False, 1, 128, 256,
-                           64)
+    rows = [(dict(pack=8, lane_batch=True, rec_expand=True), 1),
+            (dict(pack=16, lane_batch=True, rec_expand=True, tps=1), 1),
+            (dict(pack=8, lane_batch=True, brick=(2, 2, 3)), 1),
+            # multi-set shared combined staging (10M x 3-set path)
+            (dict(pack=8, lane_batch=True, rec_expand=True,
+                  shared_compact=True), 3)]
+    for kw, nsets in rows:
+        sizes = tuple([208 // nsets] * (nsets - 1)
+                      + [208 - (208 // nsets) * (nsets - 1)])
+        pairs = tuple((i, j) for i in range(nsets) for j in range(nsets))
+        cfg = SearchConfig(sizes, pairs, False, False, 1, 128, 256, 64)
         knobs = fp.FastKnobs(use_pallas=True, interpret=True, wcap=128,
                              fat_wcap=256, fat_cap=16, dense_cap=1 << 14,
                              rows_cap=1 << 10, pre_cap=32, pre_edge=16,

@@ -1296,7 +1296,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
             q_t_b, rec_b = jax.lax.optimization_barrier((q_t, rec_pad))
             outs_n = list(outs_n)
             outs_n[0] = outs_n[0] + (q_t_b[0, 0] + rec_b[0, 0])
-    elif (knobs.split_stage and knobs.lane_batch and not shared
+    elif (knobs.split_stage and knobs.lane_batch
           and not raw and not reduce_mode and not mask_output
           and knobs.skip_stage == 0 and knobs.probe_mode == 0):
         # TWO-PASS kernel (see FastKnobs.split_stage): pass 1 is the
@@ -1304,7 +1304,8 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         # pass 2 unpacks the bits and runs staging + merge with the
         # identical output contract as the fused call — the epilogue
         # below is unchanged and the results are bit-identical
-        # (tests/test_split_stage.py).
+        # (tests/test_split_stage.py).  Composes with shared-compaction
+        # multi-set staging (pass 2 keeps the combined network).
         mk = dict(kargs)
         mk.update(mask_mode=True, shared_blocks=False,
                   reduce_active=tuple(cfg.active_pairs))
@@ -1317,7 +1318,7 @@ def _pallas_search(points: jnp.ndarray, radii: Optional[jnp.ndarray],
         bits_f = mask_f(fat_cap, carry.desc, params, q_t, rec_pad,
                         ids=carry.fat_ids)[1]
         sk = dict(kargs)
-        sk.update(stage_from_bits=True, shared_blocks=False)
+        sk.update(stage_from_bits=True)
         narrow = make_pairs_call(wcap, pre_caps, k8s, n_win,
                                  fat_tier=False, tiles_per_step=knobs.tps,
                                  **sk)

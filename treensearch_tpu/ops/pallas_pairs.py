@@ -508,7 +508,9 @@ def make_pairs_call(wcap: int, pre_caps, nbr_caps, n_win: int,
         # interaction with the surrounding mask pipeline, while the same
         # network standalone costs ~2.9 ms — splitting the passes trades
         # one bits store+load (~2.3 ms at HBM bw) for that interaction.
-        assert lane_batch and not shared_blocks and not probe_mode
+        # shared_blocks composes: the combined staging consumes the same
+        # pm_ph/vo_ph/ws_ph planes stage mode produces.
+        assert lane_batch and not probe_mode
         assert not (reduce_mode or mask_mode) and skip_stage == 0
     if reduce_mode or mask_mode:
         # Alternative OUTPUT CONTRACTS that skip the staging compaction +
