@@ -75,6 +75,8 @@ eng._tiles_cap = int(int(os.environ.get("TILES", 88000)) * SCALE)
 eng._fat_cap = int(os.environ.get("FATCAP", 512))
 if "PACK" in os.environ:   # pack sweep (r8: pack=8 beat 16 at 1M)
     eng.set_record_pack(int(os.environ["PACK"]))
+if "SPLIT" in os.environ:  # two-pass split-staging kernel
+    eng.set_split_stage(bool(int(os.environ["SPLIT"])))
 # at this scale HBM is the binding constraint: skip the carry's extra
 # buffers/liveness (every step re-sorts anyway under motion)
 eng.set_coherence(False)

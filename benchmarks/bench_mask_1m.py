@@ -52,6 +52,12 @@ def main():
     eng.set_all_searches(True)
     eng.set_cell_size(float(os.environ.get("BENCH_CELLF", 1.15)) * R)
     eng.set_record_pack(int(os.environ.get("BENCH_PACK", 8)))
+    if "BENCH_WCAP" in os.environ:   # 10M-scale runs pin wcap to bound
+        eng.set_window_cap(int(os.environ["BENCH_WCAP"]))  # the bits HBM
+    if "BENCH_TILES" in os.environ:
+        eng._tiles_cap = int(os.environ["BENCH_TILES"])
+    if "BENCH_FATCAP" in os.environ:
+        eng._fat_cap = int(os.environ["BENCH_FATCAP"])
     if os.environ.get("BENCH_INTERPRET"):
         eng.set_use_pallas(True, interpret=True)
 
@@ -59,14 +65,18 @@ def main():
     pts = np.asarray(eng.apply_zsort(0, pts))
     eng.resize_point_set(0, pts)
 
-    # settle caps on the mask path
+    # settle caps on the mask path; pull the mask pytree to HOST numpy so
+    # its device buffers (9.7 GB of bits at 10M) are freed before the
+    # CSR validation program allocates its blocks
     mask, meta = eng.run_mask()
+    mask = jax.tree.map(np.asarray, mask)
 
     # ---- exactness vs the neighbor-list path ---------------------------
     eng.run()
     counts_l, nbrs_l = eng.get_neighbors(0, 0)
     counts_l = np.asarray(counts_l)
     nbrs_l = np.asarray(nbrs_l)
+    eng._solution = None   # free the CSR device blocks before timing
     total_pairs = int(counts_l.sum())
     cnt_mask = np.asarray(mask["counts"]["s0"])
     ok_counts = np.array_equal(cnt_mask, counts_l)

@@ -38,6 +38,8 @@ c, e = os.environ.get("BENCH_PRE", "64,32").split(",")
 eng.set_prestage_caps(int(c), int(e))
 if "BENCH_TPS" in os.environ:
     eng.set_tiles_per_step(int(os.environ["BENCH_TPS"]))
+if "BENCH_SPLIT" in os.environ:   # two-pass split-staging kernel
+    eng.set_split_stage(bool(int(os.environ["BENCH_SPLIT"])))
 eng.prepare_zsort()
 pts = np.asarray(eng.apply_zsort(0, pts))
 eng.resize_point_set(0, pts)

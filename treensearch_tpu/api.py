@@ -395,8 +395,11 @@ class TreeNSearch:
         pair masks in tile layout; a pass-2 kernel unpacks them and runs
         the staging compaction + merge (see FastKnobs.split_stage).
         Results are bit-identical to the fused kernel; applies to
-        lane-batched single-chip configs outside the shared-compaction /
-        reduce / mask contracts."""
+        lane-batched single-chip configs (incl. shared-compaction
+        multi-set staging) outside the reduce / mask contracts.
+        MEASURED SLOWER than the fused kernel at 1M on v5e
+        (benchmarks/NOTES.md round 5, session 2) — kept as a knob for
+        future hardware/compiler generations."""
         self._split_stage = bool(enabled)
 
     # ---------------------------------------------------------------- run

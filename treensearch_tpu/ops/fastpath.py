@@ -137,9 +137,13 @@ class FastKnobs(NamedTuple):
     #                            Trades one bits store+load for the
     #                            ~25 ms/step Mosaic scheduling
     #                            interaction between the mask pipeline
-    #                            and the staging network (NOTES.md r5).
+    #                            and the staging network (NOTES.md r5) —
+    #                            measured NOT to pay at 1M on v5e (the
+    #                            network's in-situ cost follows into
+    #                            pass 2; NOTES.md r5 session 2).
     #                            Requires lane_batch; auto-skipped in
-    #                            raw/shared-compaction/reduce/mask modes.
+    #                            raw/reduce/mask modes; composes with
+    #                            shared-compaction staging.
     skip_stage: int = 0        # DEV ONLY: 1 = no per-window compaction,
     #                            2 = no merge either, 3 = kernel body off,
     #                            4 = + no output init (stage attribution)
