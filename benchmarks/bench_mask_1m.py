@@ -83,8 +83,12 @@ def main():
     print(f"[validate] mask counts == run() counts over all {N} queries: "
           f"{ok_counts}", file=sys.stderr)
 
+    from treensearch_tpu.ops.pallas_pairs import FAT_COL
     n_tiles = int(np.asarray(mask["bits_tiles"]).shape[0])
-    tiles = rng.choice(n_tiles, min(SAMPLE_TILES, n_tiles), replace=False)
+    # sample OCCUPIED tiles (dead layout-padding tiles carry FAT_COL=2
+    # and decode to nothing)
+    occ = np.nonzero(np.asarray(mask["desc"])[:n_tiles, FAT_COL] != 2)[0]
+    tiles = rng.choice(occ, min(SAMPLE_TILES, len(occ)), replace=False)
     _, dec = decode_mask(mask, meta, tiles=tiles)
     ok_sets = len(dec) > 0
     n_checked = 0
